@@ -1,0 +1,232 @@
+"""Noise schedules and core diffusion math as pure JAX functions.
+
+This is the TPU-native equivalent of the schedule buffers the reference
+registers on its nn.Modules (`models/ddpm.py:176-178`: ``betas``, ``alphas``,
+``alphas_cumprod``) plus the closed-form forward/reverse process steps
+(`models/ddpm.py:286-296` q-sample, `models/ddpm.py:298-328` ancestral step,
+`models/ddim.py:67-126` DDIM parameters/step).
+
+Everything here is shape-static and jit/scan-friendly: schedules are
+precomputed arrays closed over by jitted functions; per-step math indexes
+them with traced integer timesteps (`jnp.take`), which lowers to cheap
+dynamic-slice gathers on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NoiseSchedule:
+    """Precomputed DDPM-style discrete noise schedule.
+
+    Attributes mirror the reference buffers (`models/ddpm.py:176-178`) with
+    the extra square-root / posterior terms precomputed once so the scan body
+    does no transcendental work beyond the UNet itself.
+    """
+
+    betas: jnp.ndarray                 # [T]
+    alphas: jnp.ndarray                # [T] = 1 - betas
+    alphas_cumprod: jnp.ndarray        # [T] = cumprod(alphas)
+    alphas_cumprod_prev: jnp.ndarray   # [T] = cumprod shifted; ᾱ_{-1} := 1
+    sqrt_alphas_cumprod: jnp.ndarray   # [T]
+    sqrt_one_minus_alphas_cumprod: jnp.ndarray  # [T]
+    posterior_variance: jnp.ndarray    # [T] β̃_t = (1-ᾱ_{t-1})/(1-ᾱ_t)·β_t
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.betas.shape[0]
+
+
+def linear_beta_schedule(beta_start: float, beta_end: float, num_timesteps: int,
+                         dtype=jnp.float32) -> jnp.ndarray:
+    """Linear β schedule (reference `models/ddpm.py:176`)."""
+    return jnp.linspace(beta_start, beta_end, num_timesteps, dtype=dtype)
+
+
+def cosine_beta_schedule(num_timesteps: int, s: float = 0.008,
+                         dtype=jnp.float32) -> jnp.ndarray:
+    """Cosine schedule from Nichol & Dhariwal (2021).
+
+    The reference's energy config declares ``noise_schedule.type`` with
+    options linear/cosine/quadratic (`configs/energy_based_config.yaml:18-22`)
+    but only ever builds linear; we support all three.
+    """
+    steps = jnp.arange(num_timesteps + 1, dtype=jnp.float64)
+    f = jnp.cos(((steps / num_timesteps) + s) / (1 + s) * jnp.pi / 2) ** 2
+    alphas_cumprod = f / f[0]
+    betas = 1.0 - alphas_cumprod[1:] / alphas_cumprod[:-1]
+    return jnp.clip(betas, 0.0, 0.999).astype(dtype)
+
+
+def quadratic_beta_schedule(beta_start: float, beta_end: float,
+                            num_timesteps: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Quadratic schedule: linspace in sqrt-beta space."""
+    return (jnp.linspace(beta_start ** 0.5, beta_end ** 0.5, num_timesteps,
+                         dtype=dtype) ** 2)
+
+
+def make_noise_schedule(beta_start: float = 1e-4, beta_end: float = 2e-2,
+                        num_timesteps: int = 1000,
+                        schedule_type: str = "linear") -> NoiseSchedule:
+    """Build the full precomputed :class:`NoiseSchedule`."""
+    if schedule_type == "linear":
+        betas = linear_beta_schedule(beta_start, beta_end, num_timesteps)
+    elif schedule_type == "cosine":
+        betas = cosine_beta_schedule(num_timesteps)
+    elif schedule_type == "quadratic":
+        betas = quadratic_beta_schedule(beta_start, beta_end, num_timesteps)
+    else:
+        raise ValueError(f"Unknown schedule type: {schedule_type}")
+
+    alphas = 1.0 - betas
+    alphas_cumprod = jnp.cumprod(alphas)
+    alphas_cumprod_prev = jnp.concatenate(
+        [jnp.ones((1,), betas.dtype), alphas_cumprod[:-1]])
+    posterior_variance = (
+        (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod) * betas)
+    return NoiseSchedule(
+        betas=betas,
+        alphas=alphas,
+        alphas_cumprod=alphas_cumprod,
+        alphas_cumprod_prev=alphas_cumprod_prev,
+        sqrt_alphas_cumprod=jnp.sqrt(alphas_cumprod),
+        sqrt_one_minus_alphas_cumprod=jnp.sqrt(1.0 - alphas_cumprod),
+        posterior_variance=posterior_variance,
+    )
+
+
+def _bcast(coef: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-timestep coefficients and broadcast to NHWC image rank."""
+    return jnp.take(coef, t)[:, None, None, None]
+
+
+def q_sample(schedule: NoiseSchedule, x0: jnp.ndarray, t: jnp.ndarray,
+             noise: jnp.ndarray) -> jnp.ndarray:
+    """Forward diffusion: x_t = √ᾱ_t·x₀ + √(1-ᾱ_t)·ε.
+
+    Reference `models/ddpm.py:286-296` (`_add_noise`).
+    """
+    return (_bcast(schedule.sqrt_alphas_cumprod, t) * x0
+            + _bcast(schedule.sqrt_one_minus_alphas_cumprod, t) * noise)
+
+
+def ddpm_posterior_step(schedule: NoiseSchedule, x: jnp.ndarray,
+                        t: jnp.ndarray, eps_pred: jnp.ndarray,
+                        noise: jnp.ndarray) -> jnp.ndarray:
+    """One ancestral reverse-diffusion step (Algorithm 2 of Ho et al.).
+
+    Reference `models/ddpm.py:298-328` (`_reverse_diffusion_step`):
+    μ = α_t^{-1/2}·(x − β_t/√(1-ᾱ_t)·ε̂), then add √β̃_t·z for t>0.
+
+    ``t`` is a [B] traced integer array; the t>0 gate is a `jnp.where` on the
+    broadcast mask so the function is scan-compatible (no Python branching —
+    the reference's ``if t[0] > 0`` forces a host sync per step).
+    """
+    beta_t = _bcast(schedule.betas, t)
+    inv_sqrt_alpha_t = jax.lax.rsqrt(_bcast(schedule.alphas, t))
+    sqrt_one_minus_ac = _bcast(schedule.sqrt_one_minus_alphas_cumprod, t)
+    mean = inv_sqrt_alpha_t * (x - beta_t / sqrt_one_minus_ac * eps_pred)
+    sigma = jnp.sqrt(_bcast(schedule.posterior_variance, t))
+    nonzero = (t > 0).astype(x.dtype)[:, None, None, None]
+    return mean + nonzero * sigma * noise
+
+
+def ddim_timesteps(num_timesteps: int, num_sampling_steps: int,
+                   method: str = "uniform") -> jnp.ndarray:
+    """Select the DDIM sampling timestep subsequence.
+
+    Reference `models/ddim.py:49-65`: 'uniform' = arange with stride
+    T//S; 'quad' = squared linspace up to sqrt(0.8·T).
+    """
+    if method == "uniform":
+        c = num_timesteps // num_sampling_steps
+        return jnp.arange(0, num_timesteps, c, dtype=jnp.int32)
+    if method == "quad":
+        ts = jnp.linspace(0, (num_timesteps * 0.8) ** 0.5,
+                          num_sampling_steps) ** 2
+        return ts.astype(jnp.int32)
+    raise NotImplementedError(f"Unknown discretization method: {method}")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DDIMParams:
+    """Precomputed DDIM sampling buffers (reference `models/ddim.py:67-81`).
+
+    All arrays are length S (the sampling subsequence length) and are indexed
+    by step POSITION i ∈ [0, S) — fixing reference defect D4, which indexed
+    these length-S buffers with raw timestep values t ∈ [0, T)
+    (`models/ddim.py:97-100`).
+    """
+
+    timesteps: jnp.ndarray            # [S] original timestep values
+    alphas: jnp.ndarray               # [S] ᾱ at the selected steps
+    alphas_prev: jnp.ndarray          # [S] ᾱ at the previous selected steps
+    sigmas: jnp.ndarray               # [S] η-scaled noise std
+    sqrt_one_minus_alphas: jnp.ndarray  # [S]
+
+
+def make_ddim_params(schedule: NoiseSchedule, num_sampling_steps: int = 50,
+                     method: str = "uniform", eta: float = 0.0) -> DDIMParams:
+    """Precompute DDIM buffers with η-controlled σ (`models/ddim.py:67-81`)."""
+    ts = ddim_timesteps(schedule.num_timesteps, num_sampling_steps, method)
+    alphas = schedule.alphas_cumprod[ts]
+    alphas_prev = jnp.concatenate(
+        [schedule.alphas_cumprod[0:1], schedule.alphas_cumprod[ts[:-1]]])
+    sigmas = eta * jnp.sqrt(
+        (1 - alphas_prev) / (1 - alphas) * (1 - alphas / alphas_prev))
+    return DDIMParams(
+        timesteps=ts,
+        alphas=alphas,
+        alphas_prev=alphas_prev,
+        sigmas=sigmas,
+        sqrt_one_minus_alphas=jnp.sqrt(1.0 - alphas),
+    )
+
+
+def ddim_step(params: DDIMParams, x: jnp.ndarray, i: jnp.ndarray,
+              eps_pred: jnp.ndarray, noise: jnp.ndarray,
+              eta: float) -> jnp.ndarray:
+    """One DDIM update at step position ``i`` (reference `models/ddim.py:83-126`).
+
+    x₀-estimate clamped to [-1, 1]; direction term √(1-ᾱ_prev-σ²)·ε̂;
+    optional clamped stochastic noise when η>0 (the reference clamps the
+    injected noise to [-3, 3] for stability, `models/ddim.py:117-120`).
+    """
+    alpha = params.alphas[i]
+    alpha_prev = params.alphas_prev[i]
+    sigma = params.sigmas[i]
+    sqrt_one_minus_alpha = params.sqrt_one_minus_alphas[i]
+
+    pred_x0 = (x - sqrt_one_minus_alpha * eps_pred) * jax.lax.rsqrt(alpha)
+    pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+    dir_xt = jnp.sqrt(jnp.maximum(1.0 - alpha_prev - sigma ** 2, 0.0)) * eps_pred
+    if eta > 0:
+        noise = jnp.clip(noise, -3.0, 3.0)
+        return jnp.sqrt(alpha_prev) * pred_x0 + dir_xt + sigma * noise
+    return jnp.sqrt(alpha_prev) * pred_x0 + dir_xt
+
+
+def sigma_ladder(sigma_min: float, sigma_max: float,
+                 num_scales: int) -> jnp.ndarray:
+    """Geometric σ ladder from σ_max down to σ_min.
+
+    Reference `models/score_based.py:229-232`:
+    exp(linspace(ln σ_max, ln σ_min, num_scales)).
+    """
+    return jnp.exp(jnp.linspace(jnp.log(sigma_max), jnp.log(sigma_min),
+                                num_scales))
+
+
+def continuous_sigma(sigma_min: float, sigma_max: float,
+                     u: jnp.ndarray) -> jnp.ndarray:
+    """Map u∈[0,1] to σ via the geometric interpolation
+    σ = σ_min·(σ_max/σ_min)^u (reference `models/score_based.py:202-204`)."""
+    return sigma_min * (sigma_max / sigma_min) ** u
