@@ -1,0 +1,268 @@
+"""TPU-first data pipeline.
+
+The reference feeds torchvision `DataLoader`s with per-sample CPU transforms
+(`datasets/dataset_utils.py:15-69`, `:138-178`). On TPU the host decode path
+becomes the bottleneck (SURVEY.md §7 'hard parts'), so this pipeline is
+re-designed:
+
+* Datasets are materialized ONCE as host uint8 arrays (NHWC). Deterministic
+  geometry (resize / center-crop) happens at load time.
+* Per-batch augmentation (flip / crop / jitter / normalize) is a JITTED
+  device function compiled from the YAML transform list — the same list the
+  reference's ``create_transforms`` consumes — so the hot loop ships raw
+  uint8 over PCIe and does the float math on-chip.
+* Sharding for data parallelism is a per-host contiguous shard plus a
+  per-epoch seeded permutation — the `DistributedSampler` equivalent
+  (reference `dataset_utils.py:138-157`) without processes or workers.
+
+YAML transform names accepted (superset of reference
+`dataset_utils.py:24-61`): center_crop, resize, random_horizontal_flip,
+random_vertical_flip, random_rotation, color_jitter, random_crop, normalize,
+to_tensor (no-op here), grayscale, grayscale_to_rgb.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+# Transforms that only make sense during training (the reference gates these
+# in `create_transforms`, `dataset_utils.py:24-40`).
+_TRAIN_ONLY = {"random_horizontal_flip", "random_vertical_flip",
+               "random_rotation", "color_jitter", "random_crop"}
+
+
+# --------------------------------------------------------------------------
+# Host-side deterministic geometry (applied once at dataset build time)
+# --------------------------------------------------------------------------
+
+def host_center_crop(images: np.ndarray, size: int) -> np.ndarray:
+    """Center-crop uint8 NHWC images."""
+    h, w = images.shape[1:3]
+    top = max((h - size) // 2, 0)
+    left = max((w - size) // 2, 0)
+    return images[:, top:top + size, left:left + size, :]
+
+
+def host_resize(images: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear-resize uint8 NHWC images (batched, on the CPU backend)."""
+    if images.shape[1] == size and images.shape[2] == size:
+        return images
+    out = jax.image.resize(
+        jnp.asarray(images, jnp.float32),
+        (images.shape[0], size, size, images.shape[3]), method="bilinear")
+    return np.asarray(jnp.clip(jnp.round(out), 0, 255), np.uint8)
+
+
+def apply_static_transforms(images: np.ndarray,
+                            transforms: Sequence[Dict[str, Any]],
+                            image_size: int) -> np.ndarray:
+    """Run the deterministic geometry stages of a YAML transform list."""
+    for t in transforms or []:
+        name = t.get("name")
+        if name == "center_crop":
+            images = host_center_crop(images, int(t.get("size", image_size)))
+        elif name == "resize":
+            images = host_resize(images, int(t.get("size", image_size)))
+        elif name == "grayscale_to_rgb" and images.shape[-1] == 1:
+            images = np.repeat(images, 3, axis=-1)
+        elif name == "grayscale" and images.shape[-1] == 3:
+            gray = (0.299 * images[..., 0] + 0.587 * images[..., 1]
+                    + 0.114 * images[..., 2])
+            images = gray[..., None].astype(np.uint8)
+    # Final safety resize so every image matches the configured size.
+    images = host_resize(images, image_size)
+    return images
+
+
+# --------------------------------------------------------------------------
+# Device-side stochastic augmentation (compiled once per transform list)
+# --------------------------------------------------------------------------
+
+def make_augment_fn(transforms: Sequence[Dict[str, Any]],
+                    mean: Sequence[float], std: Sequence[float],
+                    train: bool) -> Callable[[Array, Array], Array]:
+    """Compile the YAML transform list into one jitted device function.
+
+    Returns ``augment(batch_uint8, key) -> float32 NHWC in normalized range``.
+    Train-only transforms are dropped in eval mode, mirroring the
+    reference's gating (`dataset_utils.py:24-40`).
+    """
+    steps: List[Tuple[str, Dict[str, Any]]] = []
+    has_normalize = False
+    for t in transforms or []:
+        name = t.get("name")
+        if name in ("center_crop", "resize", "to_tensor", "grayscale",
+                    "grayscale_to_rgb"):
+            continue  # handled statically / implicit
+        if name == "normalize":
+            has_normalize = True
+            continue
+        if name in _TRAIN_ONLY and not train:
+            continue
+        steps.append((name, t))
+
+    mean_a = jnp.asarray(mean, jnp.float32)
+    std_a = jnp.asarray(std, jnp.float32)
+
+    @jax.jit
+    def augment(batch: Array, key: Array) -> Array:
+        x = batch.astype(jnp.float32) / 255.0
+        b = x.shape[0]
+        for i, (name, t) in enumerate(steps):
+            key, sub = jax.random.split(key)
+            if name == "random_horizontal_flip":
+                p = float(t.get("p", 0.5))
+                flip = jax.random.bernoulli(sub, p, (b, 1, 1, 1))
+                x = jnp.where(flip, x[:, :, ::-1, :], x)
+            elif name == "random_vertical_flip":
+                p = float(t.get("p", 0.5))
+                flip = jax.random.bernoulli(sub, p, (b, 1, 1, 1))
+                x = jnp.where(flip, x[:, ::-1, :, :], x)
+            elif name == "random_rotation":
+                # Right-angle subset: ±degrees snapped to k·90°. Arbitrary
+                # angles resample off the pixel grid; for the 0.5-normalized
+                # datasets the reference ships this is the augmentation that
+                # keeps MXU-friendly static shapes.
+                k = jax.random.randint(sub, (b,), 0, 4)
+                rots = jnp.stack([x, jnp.rot90(x, 1, (1, 2)),
+                                  jnp.rot90(x, 2, (1, 2)),
+                                  jnp.rot90(x, 3, (1, 2))], axis=1)
+                x = jnp.take_along_axis(
+                    rots, k[:, None, None, None, None], axis=1)[:, 0]
+            elif name == "random_crop":
+                size = int(t.get("size", x.shape[1]))
+                pad = int(t.get("padding", 0))
+                if pad:
+                    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                                mode="edge")
+                max_off = x.shape[1] - size
+                offs = jax.random.randint(sub, (b, 2), 0, max_off + 1)
+
+                def crop_one(img, off):
+                    return jax.lax.dynamic_slice(
+                        img, (off[0], off[1], 0),
+                        (size, size, img.shape[-1]))
+
+                x = jax.vmap(crop_one)(x, offs)
+            elif name == "color_jitter":
+                kb, kc, ks = jax.random.split(sub, 3)
+                bright = float(t.get("brightness", 0.0))
+                contrast = float(t.get("contrast", 0.0))
+                sat = float(t.get("saturation", 0.0))
+                if bright:
+                    f = jax.random.uniform(kb, (b, 1, 1, 1),
+                                           minval=1 - bright,
+                                           maxval=1 + bright)
+                    x = x * f
+                if contrast:
+                    f = jax.random.uniform(kc, (b, 1, 1, 1),
+                                           minval=1 - contrast,
+                                           maxval=1 + contrast)
+                    m = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+                    x = (x - m) * f + m
+                if sat and x.shape[-1] == 3:
+                    f = jax.random.uniform(ks, (b, 1, 1, 1),
+                                           minval=1 - sat, maxval=1 + sat)
+                    gray = jnp.mean(x, axis=-1, keepdims=True)
+                    x = (x - gray) * f + gray
+                x = jnp.clip(x, 0.0, 1.0)
+        if has_normalize:
+            x = (x - mean_a) / std_a
+        return x
+
+    return augment
+
+
+# --------------------------------------------------------------------------
+# Loader
+# --------------------------------------------------------------------------
+
+class DeviceDataLoader:
+    """Epoch-shuffled, host-sharded, device-augmented batch iterator.
+
+    The NCCL-free replacement for the reference's
+    DistributedSampler+DataLoader stack (`dataset_utils.py:138-178`):
+
+    * per-host contiguous shard of the index space (``world_size``/``rank``),
+    * per-epoch permutation seeded by (seed, epoch) — identical across
+      hosts, so shards stay disjoint,
+    * uint8 gather on host, normalization/augmentation jitted on device.
+    """
+
+    def __init__(self, images: np.ndarray, batch_size: int,
+                 augment: Callable[[Array, Array], Array],
+                 shuffle: bool = True, seed: int = 0,
+                 world_size: int = 1, rank: int = 0,
+                 drop_last: bool = True):
+        assert images.dtype == np.uint8, "loader expects uint8 host arrays"
+        self.images = images
+        self.batch_size = batch_size
+        self.augment = augment
+        self.shuffle = shuffle
+        self.seed = seed
+        self.world_size = world_size
+        self.rank = rank
+        self.drop_last = drop_last
+        self.epoch = 0
+
+        n = len(images)
+        self.shard_size = n // world_size if world_size > 1 else n
+        if drop_last:
+            self.num_batches = self.shard_size // batch_size
+        else:
+            self.num_batches = -(-self.shard_size // batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed shuffling (the `DistributedSampler.set_epoch` analogue)."""
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[Array]:
+        n = len(self.images)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        if self.world_size > 1:
+            order = order[self.rank * self.shard_size:
+                          (self.rank + 1) * self.shard_size]
+        key = jax.random.PRNGKey((self.seed * 1_000_003 + self.epoch) & 0x7FFFFFFF)
+        for i in range(self.num_batches):
+            idx = order[i * self.batch_size:(i + 1) * self.batch_size]
+            batch = self.images[idx]
+            if len(idx) < self.batch_size and self.drop_last:
+                break
+            key, sub = jax.random.split(key)
+            yield self.augment(jnp.asarray(batch), sub)
+        self.epoch += 1
+
+
+def split_indices(n: int, ratios: Dict[str, float],
+                  seed: int = 42) -> Dict[str, np.ndarray]:
+    """Split [0, n) into train/val/test with a seeded permutation.
+
+    Ratio semantics follow the reference's CIFAR-10 loader
+    (`cifar10_loader.py:72-83`): ratios must sum to ≈1, permutation is
+    seeded (seed 42) so splits are reproducible across runs and hosts.
+    """
+    total = sum(ratios.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split ratios must sum to 1, got {total}")
+    order = np.random.default_rng(seed).permutation(n)
+    n_train = int(n * ratios.get("train", 0.8))
+    n_val = int(n * ratios.get("val", 0.1))
+    return {
+        "train": order[:n_train],
+        "val": order[n_train:n_train + n_val],
+        "test": order[n_train + n_val:],
+    }

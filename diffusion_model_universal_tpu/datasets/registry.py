@@ -1,0 +1,239 @@
+"""Dataset classes + registry + ``get_dataset``.
+
+Capability parity with the reference datasets layer
+(`datasets/dataset_utils.py:71-205`, `datasets/registry.py:12-16`,
+`datasets/{mnist,cifar10,celeba}_loader.py`) with its defects resolved:
+
+* D7 — ``get_dataset`` ALWAYS returns a ``(train, val, test)`` loader tuple
+  (the reference returned a dict on the single-process path, which its own
+  CLI then tuple-unpacked into strings).
+* D8 — every dataset class takes the SAME constructor signature
+  ``(data_dir, image_size, transforms, split_ratios, crop_size)`` and
+  exposes ``train_dataset`` / ``val_dataset`` / ``test_dataset`` (the
+  reference's MNIST/CelebA classes used an older incompatible signature).
+
+Split parity: CIFAR-10 splits its 50k train pool by seeded permutation
+(seed 42, `cifar10_loader.py:82`); MNIST does a seeded 90/10 train/val
+split with the official 10k test set (`mnist_loader.py:121-128`); CelebA
+uses the official partition file (`celeba_loader.py:130-151`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.config import default_data_config_path, load_data_config
+from . import sources
+from .pipeline import (DeviceDataLoader, apply_static_transforms,
+                       make_augment_fn, split_indices)
+
+
+class ArrayImageDataset:
+    """Base: uint8 NHWC split arrays + loader construction."""
+
+    def __init__(self, data_dir: str, image_size: int,
+                 transforms: Optional[Dict[str, Sequence]] = None,
+                 split_ratios: Optional[Dict[str, float]] = None,
+                 crop_size: Optional[int] = None,
+                 mean: Sequence[float] = (0.5, 0.5, 0.5),
+                 std: Sequence[float] = (0.5, 0.5, 0.5), **_: Any):
+        self.data_dir = data_dir
+        self.image_size = image_size
+        self.transforms = transforms or {"train": [], "eval": []}
+        self.split_ratios = split_ratios or {"train": 0.8, "val": 0.1,
+                                             "test": 0.1}
+        self.crop_size = crop_size
+        self.mean = list(mean)
+        self.std = list(std)
+        splits = self._build_splits()
+        self.train_dataset = splits["train"]
+        self.val_dataset = splits["val"]
+        self.test_dataset = splits["test"]
+
+    # Subclasses return {"train": uint8 array, "val": ..., "test": ...}
+    def _build_splits(self) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    def _prep(self, images: np.ndarray, train: bool) -> np.ndarray:
+        tlist = self.transforms.get("train" if train else "eval", [])
+        return apply_static_transforms(images, tlist, self.image_size)
+
+    def get_dataloaders(self, batch_size: int, world_size: int = 1,
+                        rank: int = 0, seed: int = 0,
+                        eval_batch_size: Optional[int] = None
+                        ) -> Tuple[DeviceDataLoader, DeviceDataLoader,
+                                   DeviceDataLoader]:
+        ebs = eval_batch_size or batch_size
+        # Match channel count of mean/std to the data.
+        ch = self.train_dataset.shape[-1]
+        mean = (self.mean * ch)[:ch] if len(self.mean) < ch else self.mean[:ch]
+        std = (self.std * ch)[:ch] if len(self.std) < ch else self.std[:ch]
+        aug_train = make_augment_fn(self.transforms.get("train", []),
+                                    mean, std, train=True)
+        aug_eval = make_augment_fn(self.transforms.get("eval", []),
+                                   mean, std, train=False)
+        train = DeviceDataLoader(self.train_dataset, batch_size, aug_train,
+                                 shuffle=True, seed=seed,
+                                 world_size=world_size, rank=rank)
+        val = DeviceDataLoader(self.val_dataset, ebs, aug_eval,
+                               shuffle=False, world_size=world_size,
+                               rank=rank, drop_last=False)
+        test = DeviceDataLoader(self.test_dataset, ebs, aug_eval,
+                                shuffle=False, world_size=world_size,
+                                rank=rank, drop_last=False)
+        return train, val, test
+
+
+class MNISTDataset(ArrayImageDataset):
+    """MNIST with grayscale→RGB expansion and seeded 90/10 train/val split
+    (reference `mnist_loader.py:21-166`)."""
+
+    def _build_splits(self) -> Dict[str, np.ndarray]:
+        train_raw, test_raw = sources.load_mnist(self.data_dir)
+        train_raw = self._prep(train_raw, True)
+        test_raw = self._prep(test_raw, False)
+        ratios = dict(self.split_ratios)
+        if ratios.get("test", 0) == 0:
+            # MNIST uses the official test set; renormalize train/val.
+            tv = ratios.get("train", 0.9) + ratios.get("val", 0.1)
+            ratios = {"train": ratios.get("train", 0.9) / tv,
+                      "val": ratios.get("val", 0.1) / tv, "test": 0.0}
+        order = np.random.default_rng(42).permutation(len(train_raw))
+        n_train = int(len(train_raw) * ratios["train"])
+        return {"train": train_raw[order[:n_train]],
+                "val": train_raw[order[n_train:]],
+                "test": test_raw}
+
+
+class CIFAR10Dataset(ArrayImageDataset):
+    """CIFAR-10 with seeded ratio split of the 50k train pool and the
+    official 10k batch as test (reference `cifar10_loader.py:21-160`)."""
+
+    def _build_splits(self) -> Dict[str, np.ndarray]:
+        train_raw, test_raw = sources.load_cifar10(self.data_dir)
+        train_raw_t = self._prep(train_raw, True)
+        test_raw = self._prep(test_raw, False)
+        idx = split_indices(len(train_raw_t), self.split_ratios, seed=42)
+        return {"train": train_raw_t[idx["train"]],
+                "val": train_raw_t[idx["val"]],
+                "test": test_raw}
+
+
+class CelebADataset(ArrayImageDataset):
+    """CelebA 178-crop → 64² with official train/valid/test partition
+    (reference `celeba_loader.py:21-178`)."""
+
+    def _build_splits(self) -> Dict[str, np.ndarray]:
+        data, split_ids = sources.load_celeba(self.data_dir)
+        if isinstance(data, np.ndarray):
+            imgs = data
+            if split_ids is None:
+                idx = split_indices(len(imgs), self.split_ratios, seed=42)
+                return {k: self._prep(imgs[v], k == "train")
+                        for k, v in idx.items()}
+            out = {}
+            for name, sid in (("train", 0), ("val", 1), ("test", 2)):
+                out[name] = self._prep(imgs[split_ids == sid],
+                                       name == "train")
+            return out
+        # Lazy JPEG path: decode official splits once to uint8 at the
+        # configured size (center-crop then resize, matching the eval
+        # transform), bounded memory at 64².
+        paths, split_ids = data, split_ids
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover
+            raise sources.DatasetNotFoundError(
+                "CelebA JPEG decoding needs PIL; provide celeba_64.npz "
+                "instead") from e
+        out = {}
+        crop = self.crop_size or 178
+        for name, sid in (("train", 0), ("val", 1), ("test", 2)):
+            sel = [p for p, s in zip(paths, split_ids) if s == sid]
+            arr = np.zeros((len(sel), self.image_size, self.image_size, 3),
+                           np.uint8)
+            for i, p in enumerate(sel):
+                img = Image.open(p)
+                w, h = img.size
+                left, top = (w - crop) // 2, (h - crop) // 2
+                img = img.crop((left, top, left + crop, top + crop)).resize(
+                    (self.image_size, self.image_size), Image.BILINEAR)
+                arr[i] = np.asarray(img, np.uint8)
+            out[name] = arr
+        return out
+
+
+class SyntheticDataset(ArrayImageDataset):
+    """Procedural dataset for tests/benchmarks (no files needed)."""
+
+    num_samples = 2048
+
+    def __init__(self, *args, num_samples: Optional[int] = None, **kwargs):
+        if num_samples is not None:
+            self.num_samples = num_samples
+        super().__init__(*args, **kwargs)
+
+    def _build_splits(self) -> Dict[str, np.ndarray]:
+        imgs = sources.make_synthetic(self.num_samples, self.image_size)
+        idx = split_indices(len(imgs), self.split_ratios, seed=42)
+        return {k: imgs[v] for k, v in idx.items()}
+
+
+# Registry keyed by lowercase dataset name (reference `registry.py:12-16`).
+DATASET_REGISTRY = {
+    "mnist": MNISTDataset,
+    "cifar10": CIFAR10Dataset,
+    "celeba": CelebADataset,
+    "synthetic": SyntheticDataset,
+}
+
+
+def get_dataset(config: Dict, world_size: int = 1, rank: int = 0,
+                data_config_path: Optional[str] = None
+                ) -> Tuple[DeviceDataLoader, DeviceDataLoader,
+                           DeviceDataLoader]:
+    """Build (train, val, test) loaders from a full run config.
+
+    Mirrors the reference's ``get_dataset`` flow (`dataset_utils.py:71-205`):
+    registry lookup by ``config['data']['dataset'].lower()``, per-dataset
+    block from the shared data config, train/eval transform lists, dataset
+    instantiation with ``{data_dir, image_size, transforms, split_ratios
+    [, crop_size]}`` — but ALWAYS returns the loader tuple (fixing D7) and
+    uses one constructor convention for all datasets (fixing D8).
+    """
+    name = config["data"]["dataset"].lower()
+    cls = DATASET_REGISTRY.get(name)
+    if cls is None:
+        raise ValueError(
+            f"Unknown dataset: {name}; available: {sorted(DATASET_REGISTRY)}")
+
+    block = load_data_config(
+        data_config_path or default_data_config_path(), name)
+    transforms = {"train": block.get("transforms", []),
+                  "eval": [t for t in block.get("transforms", [])
+                           if t.get("name") not in
+                           ("random_horizontal_flip", "random_vertical_flip",
+                            "random_rotation", "color_jitter",
+                            "random_crop")]}
+    kwargs: Dict[str, Any] = dict(
+        data_dir=config["data"].get("data_dir", block.get("data_dir", "data")),
+        image_size=block.get("image_size",
+                             config["data"].get("image_size", 32)),
+        transforms=transforms,
+        split_ratios=block.get("splits"),
+        mean=block.get("mean", [0.5, 0.5, 0.5]),
+        std=block.get("std", [0.5, 0.5, 0.5]),
+    )
+    if "crop_size" in block:
+        kwargs["crop_size"] = block["crop_size"]
+    if name == "synthetic":
+        kwargs["num_samples"] = block.get("num_samples", 2048)
+
+    dataset = cls(**kwargs)
+    loader_cfg = block.get("dataloader", {})
+    batch_size = config.get("training", {}).get(
+        "batch_size", loader_cfg.get("batch_size", 128))
+    return dataset.get_dataloaders(batch_size, world_size=world_size,
+                                   rank=rank)

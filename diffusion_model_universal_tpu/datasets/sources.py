@@ -1,0 +1,141 @@
+"""Raw dataset readers (no torchvision dependency, zero network egress).
+
+Each reader returns uint8 NHWC numpy arrays from on-disk files in the
+standard formats torchvision would have downloaded, so a data directory
+prepared for the reference works unchanged. Nothing here downloads: with no
+files present a :class:`DatasetNotFoundError` explains what to provide.
+"""
+
+from __future__ import annotations
+
+import gzip
+import pickle
+import struct
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+
+class DatasetNotFoundError(FileNotFoundError):
+    pass
+
+
+def _open_maybe_gz(path: Path):
+    if path.suffix == ".gz":
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def read_idx_images(path: Path) -> np.ndarray:
+    """Parse an IDX3 image file (the MNIST raw format) to [N, H, W] uint8."""
+    with _open_maybe_gz(path) as f:
+        magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
+        if magic != 2051:
+            raise ValueError(f"{path}: bad IDX3 magic {magic}")
+        data = np.frombuffer(f.read(n * rows * cols), np.uint8)
+    return data.reshape(n, rows, cols)
+
+
+def _find(data_dir: Path, names) -> Path:
+    for name in names:
+        for candidate in (data_dir / name, data_dir / (name + ".gz")):
+            if candidate.exists():
+                return candidate
+        hits = list(data_dir.rglob(name)) + list(data_dir.rglob(name + ".gz"))
+        if hits:
+            return hits[0]
+    raise DatasetNotFoundError(
+        f"none of {names} found under {data_dir} — place the standard "
+        "torchvision-format files there (this environment has no network "
+        "egress, so nothing is downloaded automatically)")
+
+
+def load_mnist(data_dir: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(train_images [60000,28,28,1], test_images [10000,28,28,1]) uint8."""
+    root = Path(data_dir)
+    train = read_idx_images(_find(root, ["train-images-idx3-ubyte",
+                                         "train-images.idx3-ubyte"]))
+    test = read_idx_images(_find(root, ["t10k-images-idx3-ubyte",
+                                        "t10k-images.idx3-ubyte"]))
+    return train[..., None], test[..., None]
+
+
+def load_cifar10(data_dir: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(train [50000,32,32,3], test [10000,32,32,3]) uint8 from the
+    python-pickle batch files (cifar-10-batches-py)."""
+    root = Path(data_dir)
+
+    def read_batch(path: Path) -> np.ndarray:
+        with open(path, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        raw = d[b"data"] if b"data" in d else d["data"]
+        return np.asarray(raw, np.uint8).reshape(-1, 3, 32, 32).transpose(
+            0, 2, 3, 1)
+
+    batches = []
+    for i in range(1, 6):
+        batches.append(read_batch(_find(root, [f"data_batch_{i}"])))
+    train = np.concatenate(batches)
+    test = read_batch(_find(root, ["test_batch"]))
+    return train, test
+
+
+def load_celeba(data_dir: str):
+    """CelebA images + official split file.
+
+    Returns (paths or preloaded array, split_ids). CelebA is ~200k JPEGs —
+    too large to hold decoded fp32 in host RAM, so we return the aligned
+    uint8 array only if a prebuilt ``celeba_64.npz`` cache exists; otherwise
+    decode lazily from ``img_align_celeba/`` via PIL at iteration time.
+    """
+    root = Path(data_dir)
+    cache = root / "celeba_64.npz"
+    if cache.exists():
+        with np.load(cache) as z:
+            return z["images"], z.get("splits")
+    img_dir = None
+    for candidate in (root / "img_align_celeba",
+                      root / "celeba" / "img_align_celeba"):
+        if candidate.exists():
+            img_dir = candidate
+            break
+    if img_dir is None:
+        raise DatasetNotFoundError(
+            f"CelebA not found under {root}: provide celeba_64.npz or "
+            "img_align_celeba/ plus list_eval_partition.txt (no network "
+            "egress — nothing is downloaded)")
+    split_file = _find(root, ["list_eval_partition.txt"])
+    names, split_ids = [], []
+    with open(split_file) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 2:
+                names.append(parts[0])
+                split_ids.append(int(parts[1]))
+    paths = [img_dir / n for n in names]
+    return paths, np.asarray(split_ids, np.int32)
+
+
+def make_synthetic(num_samples: int = 2048, image_size: int = 32,
+                   channels: int = 3, seed: int = 42) -> np.ndarray:
+    """Procedural dataset: smooth random Gaussian blobs + gradients.
+
+    Structured enough that a diffusion model has something to learn in
+    smoke tests/benchmarks, fully deterministic for a given seed.
+    """
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32)
+    yy /= image_size
+    xx /= image_size
+    imgs = np.zeros((num_samples, image_size, image_size, channels),
+                    np.float32)
+    for c in range(channels):
+        cx = rng.uniform(0.2, 0.8, (num_samples, 1, 1))
+        cy = rng.uniform(0.2, 0.8, (num_samples, 1, 1))
+        s = rng.uniform(0.05, 0.25, (num_samples, 1, 1))
+        amp = rng.uniform(0.4, 1.0, (num_samples, 1, 1))
+        blob = amp * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s ** 2)))
+        grad = rng.uniform(-0.3, 0.3, (num_samples, 1, 1)) * (xx - 0.5)
+        imgs[..., c] = np.clip(blob + grad + 0.3, 0.0, 1.0)
+    return (imgs * 255).astype(np.uint8)

@@ -1,0 +1,216 @@
+"""Residual / up / down blocks for the diffusion UNet.
+
+TPU-native re-design of the reference's block zoo
+(`models/layers/residual.py:11-256`): time-conditioned pre-activation
+ResidualBlocks, stride-2 conv down / transpose-conv up stages, and
+attention-augmented variants. Differences from the reference are layout and
+fusion, not semantics:
+
+* NHWC layout (channels-last = TPU lane dimension) instead of NCHW.
+* GroupNorm+SiLU chains go through :mod:`ops.group_norm` so the Pallas fused
+  kernel can replace them on TPU.
+* Zero-init of the second conv and of the time projection is preserved
+  (`residual.py:49-53`) — blocks start as identities, which the reference
+  relies on for stable early training.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops.group_norm import group_norm_silu, resolve_num_groups
+from .attention import SelfAttentionBlock
+
+Array = jnp.ndarray
+
+
+class GroupNormSiLU(nn.Module):
+    """Parameterized fused GroupNorm(+SiLU) (see `ops/group_norm.py`)."""
+
+    num_groups: int = 32
+    apply_silu: bool = True
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        groups = resolve_num_groups(c, self.num_groups)
+        return group_norm_silu(x, scale, bias, groups,
+                               apply_silu=self.apply_silu,
+                               use_pallas=self.use_pallas)
+
+
+class ResidualBlock(nn.Module):
+    """Pre-activation residual block with additive time conditioning.
+
+    Reference `models/layers/residual.py:11-68`: GN→SiLU→3×3conv, add
+    Dense(t_emb) as a per-channel bias, GN→SiLU→3×3conv (zero-init), plus a
+    1×1-conv shortcut when channels change. Optional dropout honors the
+    ``dropout`` config key the reference declares but never wires up.
+    """
+
+    out_channels: int
+    num_groups: int = 32
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, t_emb: Array,
+                 deterministic: bool = True) -> Array:
+        in_channels = x.shape[-1]
+        conv = lambda name, init=None: nn.Conv(
+            self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
+            kernel_init=init or nn.initializers.lecun_normal(), name=name)
+
+        h = GroupNormSiLU(self.num_groups, use_pallas=self.use_pallas,
+                          name="norm1")(x)
+        h = conv("conv1")(h.astype(self.dtype))
+
+        # Time embedding: zero-init projection → starts as a no-op.
+        t_bias = nn.Dense(self.out_channels, dtype=self.dtype,
+                          kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.zeros,
+                          name="time_proj")(t_emb)
+        h = h + t_bias[:, None, None, :]
+
+        h = GroupNormSiLU(self.num_groups, use_pallas=self.use_pallas,
+                          name="norm2")(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = conv("conv2", init=nn.initializers.zeros)(h.astype(self.dtype))
+
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="shortcut")(x.astype(self.dtype))
+        return h + x
+
+
+class Downsample(nn.Module):
+    """Stride-2 4×4 conv (reference `residual.py:91`)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Conv(self.channels, (4, 4), strides=(2, 2),
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name="conv")(x.astype(self.dtype))
+
+
+class Upsample(nn.Module):
+    """2× learnable upsample via 4×4 stride-2 transpose conv
+    (reference `residual.py:121`)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.ConvTranspose(self.channels, (4, 4), strides=(2, 2),
+                                padding="SAME", dtype=self.dtype,
+                                name="conv")(x.astype(self.dtype))
+
+
+class ConvDownBlock(nn.Module):
+    """``num_layers`` ResidualBlocks then stride-2 downsample
+    (reference `residual.py:70-98`)."""
+
+    out_channels: int
+    num_layers: int = 2
+    num_groups: int = 32
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, t_emb: Array,
+                 deterministic: bool = True) -> Array:
+        for i in range(self.num_layers):
+            x = ResidualBlock(self.out_channels, self.num_groups,
+                              self.dropout, self.dtype, self.use_pallas,
+                              name=f"res{i}")(x, t_emb, deterministic)
+        return Downsample(self.out_channels, self.dtype, name="down")(x)
+
+
+class ConvUpBlock(nn.Module):
+    """ResidualBlocks then transpose-conv upsample
+    (reference `residual.py:100-128`)."""
+
+    out_channels: int
+    num_layers: int = 2
+    num_groups: int = 32
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, t_emb: Array,
+                 deterministic: bool = True) -> Array:
+        for i in range(self.num_layers):
+            x = ResidualBlock(self.out_channels, self.num_groups,
+                              self.dropout, self.dtype, self.use_pallas,
+                              name=f"res{i}")(x, t_emb, deterministic)
+        return Upsample(self.out_channels, self.dtype, name="up")(x)
+
+
+class AttentionDownBlock(nn.Module):
+    """(ResBlock→SelfAttention)×num_layers then optional downsample
+    (reference `residual.py:130-192`)."""
+
+    out_channels: int
+    num_layers: int = 2
+    num_groups: int = 32
+    num_att_heads: int = 4
+    downsample: bool = True
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, t_emb: Array,
+                 deterministic: bool = True) -> Array:
+        for i in range(self.num_layers):
+            x = ResidualBlock(self.out_channels, self.num_groups,
+                              self.dropout, self.dtype, self.use_pallas,
+                              name=f"res{i}")(x, t_emb, deterministic)
+            x = SelfAttentionBlock(self.out_channels, self.num_att_heads,
+                                   self.num_groups, self.dtype,
+                                   self.use_pallas, name=f"attn{i}")(x)
+        if self.downsample:
+            x = Downsample(self.out_channels, self.dtype, name="down")(x)
+        return x
+
+
+class AttentionUpBlock(nn.Module):
+    """(ResBlock→SelfAttention)×num_layers then optional upsample
+    (reference `residual.py:194-256`)."""
+
+    out_channels: int
+    num_layers: int = 2
+    num_groups: int = 32
+    num_att_heads: int = 4
+    upsample: bool = True
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, t_emb: Array,
+                 deterministic: bool = True) -> Array:
+        for i in range(self.num_layers):
+            x = ResidualBlock(self.out_channels, self.num_groups,
+                              self.dropout, self.dtype, self.use_pallas,
+                              name=f"res{i}")(x, t_emb, deterministic)
+            x = SelfAttentionBlock(self.out_channels, self.num_att_heads,
+                                   self.num_groups, self.dtype,
+                                   self.use_pallas, name=f"attn{i}")(x)
+        if self.upsample:
+            x = Upsample(self.out_channels, self.dtype, name="up")(x)
+        return x

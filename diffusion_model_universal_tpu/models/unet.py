@@ -1,0 +1,129 @@
+"""The shared UNet noise-prediction backbone.
+
+TPU-native re-design of the reference UNet (`models/ddpm.py:32-135`): a
+5-stage down / bottleneck / 5-stage up architecture with skip concatenation,
+additive time-embedding injection in every ResidualBlock, self-attention at
+the 4th down stage, the bottleneck, and the 2nd up stage, and a
+GroupNorm→SiLU→3×3-conv output head.
+
+Channel plan for base width C (reference `ddpm.py:56-84`):
+    down:   C → C → 2C → 2C(attn) → 4C        (each stage halves H,W)
+    mid:    Res(4C) → Attn(4C) → Res(4C)
+    up:     cat-skip then 4C → 2C(attn) → 2C → C → C (each stage doubles H,W)
+
+Differences from the reference are TPU idiom, not architecture:
+* NHWC layout; convs lower to MXU-tiled XLA convolutions.
+* bf16 compute / fp32 params via the ``dtype`` attribute.
+* Optional `nn.remat` on the down/up stages (`jax.checkpoint`) to trade
+  FLOPs for HBM during training.
+* ``continuous_sigma=True`` swaps the integer-timestep embedding for a
+  log-σ MLP, which is the intended ScoreNet design
+  (reference `models/score_based.py:56-61`, fixing defect D3).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import (AttentionDownBlock, AttentionUpBlock, ConvDownBlock,
+                     ConvUpBlock, GroupNormSiLU, ResidualBlock,
+                     SelfAttentionBlock, SigmaEmbedding, TimeEmbedding)
+
+Array = jnp.ndarray
+
+
+class UNet(nn.Module):
+    """Noise/score-prediction UNet.
+
+    Attributes:
+        in_channels: image channels (3 for RGB).
+        model_channels: base width C.
+        out_channels: output channels (== in_channels for ε-prediction).
+        num_heads: attention heads (reference: 4).
+        dropout: ResidualBlock dropout rate (reference declares but never
+            wires `dropout` — here it is functional).
+        continuous_sigma: use log-σ conditioning instead of integer t.
+        remat: checkpoint down/up stages to cut activation memory.
+    """
+
+    in_channels: int = 3
+    model_channels: int = 64
+    out_channels: int = 3
+    num_heads: int = 4
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    continuous_sigma: bool = False
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, t: Array,
+                 deterministic: bool = True) -> Array:
+        if x.shape[1] < 32 or x.shape[2] < 32:
+            raise ValueError(
+                f"UNet needs spatial dims ≥ 32 (got {x.shape[1:3]}): the "
+                "5-stage downsampling path reaches zero size below that "
+                "(the reference UNet has the same constraint, "
+                "models/ddpm.py:56-65). Resize inputs to ≥ 32.")
+        c = self.model_channels
+        common = dict(dropout=self.dropout, dtype=self.dtype,
+                      use_pallas=self.use_pallas)
+
+        if self.continuous_sigma:
+            t_emb = SigmaEmbedding(c, c * 4, self.dtype, name="time_embedding")(t)
+        else:
+            t_emb = TimeEmbedding(c, c * 4, self.dtype, name="time_embedding")(t)
+
+        h = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype,
+                    kernel_init=nn.initializers.he_normal(),
+                    name="initial_conv")(x.astype(self.dtype))
+
+        DownB = ConvDownBlock
+        AttnDownB = AttentionDownBlock
+        UpB = ConvUpBlock
+        AttnUpB = AttentionUpBlock
+        if self.remat:
+            # Static argnums: (self, x, t_emb, deterministic) → index 3.
+            DownB = nn.remat(ConvDownBlock, static_argnums=(3,))
+            AttnDownB = nn.remat(AttentionDownBlock, static_argnums=(3,))
+            UpB = nn.remat(ConvUpBlock, static_argnums=(3,))
+            AttnUpB = nn.remat(AttentionUpBlock, static_argnums=(3,))
+
+        downs = [
+            DownB(c, name="down0", **common),
+            DownB(c, name="down1", **common),
+            DownB(c * 2, name="down2", **common),
+            AttnDownB(c * 2, num_att_heads=self.num_heads, name="down3",
+                      **common),
+            DownB(c * 4, name="down4", **common),
+        ]
+        skips = []
+        for block in downs:
+            h = block(h, t_emb, deterministic)
+            skips.append(h)
+
+        h = ResidualBlock(c * 4, name="mid_res1", **common)(
+            h, t_emb, deterministic)
+        h = SelfAttentionBlock(c * 4, self.num_heads, dtype=self.dtype,
+                               use_pallas=self.use_pallas,
+                               name="mid_attn")(h)
+        h = ResidualBlock(c * 4, name="mid_res2", **common)(
+            h, t_emb, deterministic)
+
+        ups = [
+            UpB(c * 4, name="up0", **common),
+            AttnUpB(c * 2, num_att_heads=self.num_heads, name="up1",
+                    **common),
+            UpB(c * 2, name="up2", **common),
+            UpB(c, name="up3", **common),
+            UpB(c, name="up4", **common),
+        ]
+        for block, skip in zip(ups, reversed(skips)):
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = block(h, t_emb, deterministic)
+
+        h = GroupNormSiLU(32, use_pallas=self.use_pallas, name="out_norm")(h)
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="output_conv")(
+                           h.astype(self.dtype)).astype(jnp.float32)

@@ -1,0 +1,96 @@
+"""Device mesh construction + sharding rules.
+
+The TPU-native replacement for the reference's distributed stack
+(`scripts/train.py:48-67` NCCL process-group setup,
+`trainers/ddpm_trainer.py:129-136` DDP wrap,
+`datasets/dataset_utils.py:138-157` DistributedSampler): a
+`jax.sharding.Mesh` over all devices with named axes, NamedShardings for
+batch (data-parallel) and parameter (FSDP-style) placement, and XLA
+collectives inserted by the compiler. There is no backend code to write —
+ICI/DCN collectives are emitted by XLA from the sharding annotations.
+
+Axes:
+    "data"  — batch axis (DP). The reference implements exactly this one
+              strategy (SURVEY.md §2.8).
+    "model" — parameter/tensor axis. The reference has no TP/FSDP; we expose
+              the axis so large configs can shard parameters (FSDP-style
+              sharding of the largest weight dimension) — a capability
+              superset that costs nothing at mesh size 1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Optional[Sequence[Any]] = None,
+              data_parallel: Optional[int] = None,
+              model_parallel: int = 1) -> Mesh:
+    """Build a 2-D ("data", "model") mesh over the given devices.
+
+    Defaults to all devices on the data axis — the DP layout matching the
+    reference's one-process-per-GPU DDP (`scripts/train.py:225-232`).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data_parallel is None:
+        data_parallel = n // model_parallel
+    if data_parallel * model_parallel != n:
+        raise ValueError(
+            f"mesh {data_parallel}x{model_parallel} != {n} devices")
+    arr = np.asarray(devices).reshape(data_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis — the pjit
+    equivalent of DistributedSampler + DDP gradient all-reduce."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding(mesh: Mesh, params: Any,
+                   min_size_to_shard: int = 2 ** 16) -> Any:
+    """FSDP-style parameter sharding tree.
+
+    Each array large enough to matter is sharded along its largest dimension
+    that divides the "model" axis size; everything else is replicated. With
+    ``model_parallel == 1`` every leaf is replicated — identical semantics
+    to the reference's DDP replication.
+    """
+    axis_size = mesh.shape[MODEL_AXIS]
+
+    def shard_one(p):
+        if axis_size == 1 or p.size < min_size_to_shard:
+            return NamedSharding(mesh, P())
+        dims = list(p.shape)
+        order = sorted(range(len(dims)), key=lambda i: -dims[i])
+        for i in order:
+            if dims[i] % axis_size == 0:
+                spec = [None] * len(dims)
+                spec[i] = MODEL_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(shard_one, params)
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch with batch-axis sharding."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def is_main_process() -> bool:
+    """rank==0 gating equivalent (reference gates logging/ckpt on rank 0,
+    `trainers/ddpm_trainer.py:866-867`)."""
+    return jax.process_index() == 0
