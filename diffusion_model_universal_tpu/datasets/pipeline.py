@@ -236,12 +236,16 @@ class DeviceDataLoader:
         if self.world_size > 1:
             order = order[self.rank * self.shard_size:
                           (self.rank + 1) * self.shard_size]
+        from .. import native
         key = jax.random.PRNGKey((self.seed * 1_000_003 + self.epoch) & 0x7FFFFFFF)
         for i in range(self.num_batches):
             idx = order[i * self.batch_size:(i + 1) * self.batch_size]
-            batch = self.images[idx]
             if len(idx) < self.batch_size and self.drop_last:
                 break
+            # Threaded native gather when the C++ loader is built;
+            # NumPy fancy-indexing otherwise (same result).
+            batch = native.gather_batch(self.images,
+                                        np.asarray(idx, np.int64))
             key, sub = jax.random.split(key)
             yield self.augment(jnp.asarray(batch), sub)
         self.epoch += 1

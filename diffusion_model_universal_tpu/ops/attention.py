@@ -69,11 +69,32 @@ def mha_pallas(q: Array, k: Array, v: Array) -> Array:
     return out.reshape(b, n, s, d)
 
 
+@jax.custom_vjp
+def _mha_fused(q: Array, k: Array, v: Array) -> Array:
+    """Pallas kernel forward with XLA-derived backward (the sequences here
+    are ≤1024 tokens, so rematerializing attention in the backward is
+    cheaper than storing probabilities)."""
+    return mha_pallas(q, k, v)
+
+
+def _mha_fwd(q, k, v):
+    return _mha_fused(q, k, v), (q, k, v)
+
+
+def _mha_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(mha_xla, q, k, v)
+    return vjp(g)
+
+
+_mha_fused.defvjp(_mha_fwd, _mha_bwd)
+
+
 def multi_head_attention(q: Array, k: Array, v: Array,
                          use_pallas: bool = False) -> Array:
     """Dispatch between the Pallas kernel and the XLA fallback."""
     if use_pallas and _pallas_supported():
-        return mha_pallas(q, k, v)
+        return _mha_fused(q, k, v)
     return mha_xla(q, k, v)
 
 

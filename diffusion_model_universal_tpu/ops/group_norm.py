@@ -50,11 +50,9 @@ def group_norm_silu_xla(x: Array, scale: Array, bias: Array, num_groups: int,
         x: [B, H, W, C] activations (any float dtype; stats in fp32).
         scale, bias: [C] affine parameters.
         num_groups: must divide C (use :func:`resolve_num_groups`).
-        time_bias: optional [B, C] per-sample channel bias ADDED BEFORE the
-            normalization? No — matching the reference ResidualBlock, the
-            time bias is added to the conv OUTPUT, i.e. before the *next*
-            norm; here it is provided so callers can fuse `h + t_bias` into
-            the same kernel pass, applied to x before normalizing.
+        time_bias: optional [B, C] per-sample channel bias added to ``x``
+            before normalizing — lets callers fuse the ResidualBlock's
+            ``h + time_proj(t_emb)`` into the same pass as the next norm.
     """
     b, h, w, c = x.shape
     orig_dtype = x.dtype
@@ -73,21 +71,44 @@ def group_norm_silu_xla(x: Array, scale: Array, bias: Array, num_groups: int,
 
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, out_ref, *, num_groups: int,
-                    eps: float, apply_silu: bool):
+                    group_size: int, eps: float, apply_silu: bool):
     """Pallas kernel body: one batch element per grid step.
 
-    Block is [1, H*W, C] in VMEM. Group statistics are computed with a
-    reshape to [H*W, G, C/G] — all VPU work, single pass over VMEM.
+    Block is [1, H*W, C] in VMEM. Mosaic cannot shape-cast the lane (C)
+    dimension into [G, C/G], so group statistics are computed with one-hot
+    group matmuls instead: channel sums [1, C] × membership [C, G] → group
+    sums [1, G], broadcast back per channel via [1, G] × [G, C]. Everything
+    stays in fp32 VMEM; one read + one write of the activation.
     """
     x = x_ref[0].astype(jnp.float32)              # [S, C]
     s, c = x.shape
-    cg = c // num_groups
-    xg = x.reshape(s, num_groups, cg)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    centered = xg - mean
-    var = jnp.mean(centered * centered, axis=(0, 2), keepdims=True)
-    normed = (centered * jax.lax.rsqrt(var + eps)).reshape(s, c)
-    out = normed * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    # Group membership matrices built from 2-D iotas (TPU needs ≥2-D iota).
+    ch_of = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+    grp_of = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    m_cg = (ch_of // group_size == grp_of).astype(jnp.float32)   # [C, G]
+    grp_of2 = jax.lax.broadcasted_iota(jnp.int32, (num_groups, c), 0)
+    ch_of2 = jax.lax.broadcasted_iota(jnp.int32, (num_groups, c), 1)
+    m_gc = (ch_of2 // group_size == grp_of2).astype(jnp.float32)  # [G, C]
+
+    n = float(s * group_size)
+    colsum = jnp.sum(x, axis=0, keepdims=True)        # [1, C]
+    colsumsq = jnp.sum(x * x, axis=0, keepdims=True)  # [1, C]
+    hp = jax.lax.Precision.HIGHEST  # stats need full f32 MXU passes
+    gsum = jnp.dot(colsum, m_cg, precision=hp,
+                   preferred_element_type=jnp.float32)
+    gsumsq = jnp.dot(colsumsq, m_cg, precision=hp,
+                     preferred_element_type=jnp.float32)
+    gmean = gsum / n                                   # [1, G]
+    gvar = gsumsq / n - gmean * gmean
+    mean_c = jnp.dot(gmean, m_gc, precision=hp,
+                     preferred_element_type=jnp.float32)
+    rstd_c = jax.lax.rsqrt(
+        jnp.dot(gvar, m_gc, precision=hp,
+                preferred_element_type=jnp.float32) + eps)
+
+    out = (x - mean_c) * rstd_c
+    out = out * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(
+        jnp.float32)
     if apply_silu:
         out = out * jax.nn.sigmoid(out)
     out_ref[0] = out.astype(out_ref.dtype)
@@ -101,19 +122,52 @@ def group_norm_silu_pallas(x: Array, scale: Array, bias: Array,
     b, h, w, c = x.shape
     s = h * w
     x2 = x.reshape(b, s, c)
+    scale2 = scale.reshape(1, c)
+    bias2 = bias.reshape(1, c)
     out = pl.pallas_call(
-        functools.partial(_gn_silu_kernel, num_groups=num_groups, eps=eps,
+        functools.partial(_gn_silu_kernel, num_groups=num_groups,
+                          group_size=c // num_groups, eps=eps,
                           apply_silu=apply_silu),
         out_shape=jax.ShapeDtypeStruct((b, s, c), x.dtype),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((c,), lambda i: (0,)),
-            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
-    )(x2, scale, bias)
+    )(x2, scale2, bias2)
     return out.reshape(b, h, w, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_gn_with_vjp(num_groups: int, eps: float, apply_silu: bool):
+    """custom_vjp wrapper: Pallas kernel forward, XLA-derived backward.
+
+    The backward rematerializes through the XLA reference implementation —
+    numerically identical, and XLA fuses the GN backward chain well; the
+    fused-kernel win is on the (sampling-dominated) forward path.
+    """
+
+    def xla_ref(x, scale, bias):
+        return group_norm_silu_xla(x, scale, bias, num_groups, None, eps,
+                                   apply_silu)
+
+    @jax.custom_vjp
+    def f(x, scale, bias):
+        return group_norm_silu_pallas(x, scale, bias, num_groups, eps,
+                                      apply_silu)
+
+    def fwd(x, scale, bias):
+        return f(x, scale, bias), (x, scale, bias)
+
+    def bwd(res, g):
+        x, scale, bias = res
+        _, vjp = jax.vjp(xla_ref, x, scale, bias)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def group_norm_silu(x: Array, scale: Array, bias: Array, num_groups: int,
@@ -121,8 +175,7 @@ def group_norm_silu(x: Array, scale: Array, bias: Array, num_groups: int,
                     apply_silu: bool = True, use_pallas: bool = False) -> Array:
     """Dispatch between the Pallas kernel and the XLA fallback."""
     if use_pallas and time_bias is None and _pallas_supported():
-        return group_norm_silu_pallas(x, scale, bias, num_groups, eps,
-                                      apply_silu)
+        return _fused_gn_with_vjp(num_groups, eps, apply_silu)(x, scale, bias)
     return group_norm_silu_xla(x, scale, bias, num_groups, time_bias, eps,
                                apply_silu)
 

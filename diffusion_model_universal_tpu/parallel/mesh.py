@@ -85,6 +85,26 @@ def param_sharding(mesh: Mesh, params: Any,
     return jax.tree_util.tree_map(shard_one, params)
 
 
+def opt_state_sharding(opt_state: Any, params: Any, p_shard: Any,
+                       mesh: Mesh) -> Any:
+    """Sharding tree for an Optax state: moment subtrees that mirror the
+    param tree (Adam mu/nu) inherit the param shardings; every other leaf
+    (step counts, EMA scalars) is replicated."""
+    repl = NamedSharding(mesh, P())
+    p_struct = jax.tree_util.tree_structure(params)
+
+    def matches(x: Any) -> bool:
+        try:
+            return jax.tree_util.tree_structure(x) == p_struct
+        except Exception:
+            return False
+
+    return jax.tree_util.tree_map(
+        lambda sub: p_shard if matches(sub)
+        else jax.tree_util.tree_map(lambda _: repl, sub),
+        opt_state, is_leaf=matches)
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Device-put a host batch with batch-axis sharding."""
     return jax.device_put(batch, batch_sharding(mesh))

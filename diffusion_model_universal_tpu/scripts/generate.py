@@ -1,0 +1,92 @@
+"""Sample-generation CLI.
+
+Surface parity with the reference's `scripts/generate.py:81-135`:
+
+    python -m diffusion_model_universal_tpu.scripts.generate \
+        --config configs/ddpm_config.yaml --model_type ddpm \
+        --checkpoint path/to/model.ckpt [--num_samples N] [--output_dir D]
+
+Defect fixes (SURVEY.md §2.7):
+* D2 — the reference calls a nonexistent ``model.generate_sample`` and
+  reads a ``config['model']`` section no shipped YAML defines; here the
+  dispatch uses each family's real sampler and the same
+  ``model_config`` section training uses.
+* Accepts both the model-only checkpoint (``BaseDiffusionModel.save``) and
+  a full trainer checkpoint directory (Orbax), sampling from EMA params
+  when available (``--ema``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+from pathlib import Path
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Generate samples (TPU)")
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--model_type", type=str, required=True,
+                   choices=["ddpm", "ddim", "score_based", "energy_based"])
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="Model-only .ckpt file or trainer checkpoint dir")
+    p.add_argument("--num_samples", type=int, default=16)
+    p.add_argument("--output_dir", type=str, default="generated_samples")
+    p.add_argument("--ema", action="store_true",
+                   help="Sample from EMA params (trainer checkpoints only)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--grid_only", action="store_true",
+                   help="Skip per-sample PNGs, save only the grid")
+    return p
+
+
+def load_params(model, path: str, use_ema: bool):
+    """Load params from either checkpoint flavor."""
+    import jax
+    p = Path(path)
+    if p.is_dir():  # Orbax trainer checkpoint
+        from ..utils.checkpoint import CheckpointManager
+        mgr = CheckpointManager(str(p.parent))
+        template = model.init_params(jax.random.PRNGKey(0))
+        target = {"params": template, "ema_params": template}
+        try:
+            restored = mgr.restore(p.name, target)
+        except Exception:
+            restored = mgr.restore(p.name)
+        key = "ema_params" if use_ema else "params"
+        return restored[key]
+    return model.load(str(p))
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from ..models import MODEL_REGISTRY
+    from ..utils.config import load_config, resolve_interpolations
+    from ..utils.images import save_image
+
+    config = resolve_interpolations(load_config(args.config))
+    model_cfg = config.get("model_config", config.get("model", {}))
+    model = MODEL_REGISTRY[args.model_type](model_cfg)
+    params = load_params(model, args.checkpoint, args.ema)
+
+    key = jax.random.PRNGKey(args.seed)
+    samples = np.asarray(model.generate_samples(params, key,
+                                                args.num_samples))
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if not args.grid_only:
+        for i in range(len(samples)):
+            save_image(samples[i], str(out / f"sample_{i:04d}.png"))
+    nrow = int(math.ceil(math.sqrt(args.num_samples)))
+    grid_path = save_image(samples, str(out / "samples_grid.png"), nrow=nrow)
+    print(f"Saved {len(samples)} samples to {out} (grid: {grid_path})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

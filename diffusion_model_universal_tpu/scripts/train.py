@@ -1,0 +1,122 @@
+"""Training CLI.
+
+Drop-in surface parity with the reference's `scripts/train.py:211-235`:
+
+    python -m diffusion_model_universal_tpu.scripts.train \
+        --config configs/ddpm_config.yaml --model_type ddpm \
+        [--resume CKPT] [--eval_only] [--benchmark] [--num_devices N]
+
+Differences are all TPU-idiom:
+* No ``mp.spawn``/NCCL process management (`train.py:222-235`, `:48-67`) —
+  JAX is SPMD: one process per host, a `Mesh` over all local devices, and
+  ``--num_devices`` simply restricts the mesh. For multi-host runs call
+  ``jax.distributed.initialize()`` (``--multihost``) before anything else.
+* rank-0 gating becomes ``jax.process_index() == 0``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train diffusion models (TPU)")
+    p.add_argument("--config", type=str, required=True,
+                   help="Path to YAML config file")
+    p.add_argument("--model_type", type=str, required=True,
+                   choices=["ddpm", "ddim", "score_based", "energy_based"])
+    p.add_argument("--resume", type=str, default=None,
+                   help="Checkpoint name (or 'latest') to resume from")
+    p.add_argument("--eval_only", action="store_true",
+                   help="Only run evaluation on the test set")
+    p.add_argument("--benchmark", action="store_true",
+                   help="Run FID/IS/SSIM/PSNR benchmarks after training")
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="Restrict the mesh to the first N local devices "
+                        "(replaces the reference's --num_gpus)")
+    p.add_argument("--multihost", action="store_true",
+                   help="Call jax.distributed.initialize() for multi-host")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    if args.multihost:
+        jax.distributed.initialize()
+
+    from ..datasets import get_dataset
+    from ..models import MODEL_REGISTRY
+    from ..parallel.mesh import is_main_process, make_mesh
+    from ..trainers import TRAINER_REGISTRY
+    from ..utils.config import load_config, print_config, resolve_interpolations
+
+    config = resolve_interpolations(load_config(args.config))
+    if is_main_process():
+        print_config("Main Configuration", config)
+
+    devices = jax.devices()
+    if args.num_devices:
+        devices = devices[:args.num_devices]
+    mesh = make_mesh(devices)
+
+    world_size = jax.process_count()
+    rank = jax.process_index()
+    train_loader, val_loader, test_loader = get_dataset(
+        config, world_size, rank)
+
+    model_cls = MODEL_REGISTRY[args.model_type]
+    model = model_cls(config.get("model_config", {}))
+
+    trainer_cls = TRAINER_REGISTRY[args.model_type]
+    trainer = trainer_cls(model, train_loader, val_loader, test_loader,
+                          config, mesh=mesh, seed=args.seed)
+
+    start_epoch = 0
+    if args.resume:
+        name = None if args.resume == "latest" else args.resume
+        start_epoch = trainer.load_checkpoint(name)
+        if is_main_process():
+            print(f"Resumed from epoch {start_epoch}")
+
+    try:
+        if args.eval_only:
+            test_loss = trainer.test()
+            if is_main_process():
+                print(f"Test loss: {test_loss:.6f}")
+        else:
+            num_epochs = config.get("training", {}).get("num_epochs", 1)
+            trainer.train(num_epochs - start_epoch)
+            test_loss = trainer.test()
+            if is_main_process():
+                print(f"Final test loss: {test_loss:.6f}")
+            trainer.save_checkpoint("final_model",
+                                    num_epochs - 1)
+
+        if args.benchmark and is_main_process():
+            from ..utils.benchmarks import DiffusionBenchmark
+            bench_cfg = config.get("benchmark", {}) or {}
+            bench = DiffusionBenchmark(
+                n_samples=bench_cfg.get("n_samples", 2000),
+                batch_size=bench_cfg.get("batch_size", 128))
+            results = bench.evaluate(model, trainer.state.params,
+                                     test_loader)
+            out_dir = Path(config.get("output", {}).get(
+                "output_dir", "outputs"))
+            out_dir.mkdir(parents=True, exist_ok=True)
+            with open(out_dir / bench_cfg.get(
+                    "results_file", "benchmark_results.json"), "w") as f:
+                json.dump(results, f, indent=2)
+            print("Benchmark:", json.dumps(results, indent=2))
+    finally:
+        trainer.cleanup()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,96 @@
+"""Optimizer + LR-schedule factory.
+
+Mirrors the reference trainer's optimizer setup
+(`trainers/ddpm_trainer.py:138-202`): Adam from
+``training.{learning_rate, beta1, beta2}`` and five scheduler types —
+cosine / linear(warmup+decay) / step / exponential / one_cycle.
+
+The reference steps some schedulers per-batch and others per-epoch
+(`ddpm_trainer.py:557-568`); in Optax every schedule is a pure function of
+the global STEP, so epoch-based ones are converted with
+``steps_per_epoch`` — same trajectory, jit-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax.numpy as jnp
+import optax
+
+
+def make_lr_schedule(training_cfg: Dict[str, Any], steps_per_epoch: int,
+                     num_epochs: int) -> Callable:
+    """Build the Optax schedule named by ``training.scheduler.type``."""
+    base_lr = float(training_cfg.get("learning_rate", 1e-4))
+    sched_cfg = training_cfg.get("scheduler", {}) or {}
+    stype = sched_cfg.get("type", "constant")
+    total_steps = max(steps_per_epoch * num_epochs, 1)
+    min_lr = float(sched_cfg.get("min_lr", 0.0))
+
+    if stype == "cosine":
+        # CosineAnnealingLR(T_max=num_epochs, eta_min=min_lr), per-epoch
+        # in the reference (`ddpm_trainer.py:147-152`).
+        return optax.cosine_decay_schedule(
+            base_lr, decay_steps=total_steps, alpha=min_lr / base_lr)
+    if stype == "linear":
+        # Linear warmup then linear decay to 0 (`ddpm_trainer.py:154-170`).
+        warmup = int(sched_cfg.get("warmup_steps", 0))
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base_lr, max(warmup, 1)),
+             optax.linear_schedule(base_lr, min_lr,
+                                   max(total_steps - warmup, 1))],
+            boundaries=[warmup])
+    if stype == "step":
+        # StepLR(step_size epochs, gamma) (`ddpm_trainer.py:172-177`).
+        step_size = int(sched_cfg.get("step_size", 100)) * steps_per_epoch
+        gamma = float(sched_cfg.get("gamma", 0.1))
+        return lambda step: base_lr * gamma ** (step // max(step_size, 1))
+    if stype == "exponential":
+        # ExponentialLR(gamma) per epoch (`ddpm_trainer.py:179-183`).
+        gamma = float(sched_cfg.get("gamma", 0.95))
+        return lambda step: base_lr * gamma ** (step / max(steps_per_epoch, 1))
+    if stype == "one_cycle":
+        # OneCycleLR(max_lr=lr) per batch (`ddpm_trainer.py:185-192`).
+        pct_start = float(sched_cfg.get("pct_start", 0.3))
+        return optax.cosine_onecycle_schedule(
+            transition_steps=total_steps, peak_value=base_lr,
+            pct_start=pct_start,
+            div_factor=float(sched_cfg.get("div_factor", 25.0)),
+            final_div_factor=float(sched_cfg.get("final_div_factor", 1e4)))
+    if stype == "constant":
+        return optax.constant_schedule(base_lr)
+    raise ValueError(f"Unknown scheduler type: {stype}")
+
+
+def make_optimizer(training_cfg: Dict[str, Any], steps_per_epoch: int,
+                   num_epochs: int
+                   ) -> Tuple[optax.GradientTransformation, Callable]:
+    """Adam(+grad clip) with the configured LR schedule.
+
+    Returns (optimizer, schedule_fn) — the schedule is also returned so the
+    trainer can log the current LR (`ddpm_trainer.py:580-588`).
+    """
+    schedule = make_lr_schedule(training_cfg, steps_per_epoch, num_epochs)
+    b1 = float(training_cfg.get("beta1", 0.9))
+    b2 = float(training_cfg.get("beta2", 0.999))
+    chain = []
+    grad_clip = training_cfg.get("grad_clip")
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(float(grad_clip)))
+    chain.append(optax.adam(schedule, b1=b1, b2=b2))
+    return optax.chain(*chain), schedule
+
+
+def ema_decay_schedule(base_decay: float, step: Any,
+                       warmup: bool = True):
+    """EMA decay, optionally warmed up as min(base, (1+t)/(10+t)).
+
+    The reference uses a constant decay applied every step
+    (`ddpm_trainer.py:456-480`); the warmup form is the standard diffusion
+    trick that makes early EMA track the fast-moving params. Disabled
+    (warmup=False) it reduces to the reference behavior.
+    """
+    if not warmup:
+        return base_decay
+    return jnp.minimum(base_decay, (1.0 + step) / (10.0 + step))

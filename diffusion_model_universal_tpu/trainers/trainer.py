@@ -1,0 +1,342 @@
+"""The training engine.
+
+TPU-native re-design of the reference's fat trainer
+(`trainers/ddpm_trainer.py:34-944`). The imperative per-batch loop becomes
+ONE jitted, donated, sharded ``train_step``:
+
+    state, metrics = train_step(state, batch, key)
+
+containing loss + backward + Adam update + EMA update, compiled once and
+executed entirely on-device; the host loop only orchestrates data feeding,
+logging, validation, sampling and checkpointing.
+
+Feature parity map (reference → here):
+* EMA clone updated after every optimizer step (`ddpm_trainer.py:121-127,
+  456-480`) → `tree_map` EMA inside the jitted step (zero extra HBM trips).
+* DDP wrap + NCCL allreduce (`:129-136`) → batch-axis NamedSharding over the
+  mesh's "data" axis; XLA inserts the gradient all-reduce.
+* Adam + 5 LR schedulers (`:138-202`) → :mod:`.optim` (Optax).
+* Mid-epoch validation every ``val_interval`` steps with best-model save
+  (`:604-621`) — best is saved WHENEVER validation improves, fixing defect
+  D12 (the reference also required the step to align with the checkpoint
+  interval, so "best" was almost never written).
+* Epoch-level metric sync via all_reduce (`:625-641`) → the jitted loss is
+  already a global mean over the sharded batch; host-side averages are over
+  per-step scalars.
+* Sample grids every ``sample_interval`` epochs (`:792-848`).
+* Checkpoints every ``checkpoint_interval`` epochs + best + emergency-save
+  on exception (`:850-895`, `:662-667`) → Orbax (see `utils/checkpoint.py`).
+* ``validate()`` / ``test()`` (`:669-790`), ``cleanup()`` (`:926-940`).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.base import BaseDiffusionModel
+from ..parallel.mesh import (batch_sharding, is_main_process, make_mesh,
+                             param_sharding)
+from ..utils.checkpoint import CheckpointManager
+from ..utils.images import frames_to_grid, save_image
+from ..utils.logging_utils import MetricLogger
+
+
+@struct.dataclass
+class TrainState:
+    """On-device training state (one pytree, donated through the step)."""
+
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+class DiffusionTrainer:
+    """Engine shared by all model families (the reference's subclass
+    trainers only override sampling/extra-logging hooks; same here)."""
+
+    def __init__(self, model: BaseDiffusionModel, train_loader,
+                 val_loader, test_loader, config: Dict[str, Any],
+                 mesh=None, seed: int = 0):
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+        self.config = config or {}
+        self.training_cfg = self.config.get("training", {}) or {}
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.is_main = is_main_process()
+
+        self.num_epochs = int(self.training_cfg.get("num_epochs", 1))
+        self.val_interval = int(self.training_cfg.get("val_interval", 1000))
+        self.sample_interval = int(
+            self.training_cfg.get("sample_interval", 5))
+        self.checkpoint_interval = int(
+            self.training_cfg.get("checkpoint_interval", 10))
+        self.ema_decay = float(self.training_cfg.get("ema_decay", 0.9999))
+        self.log_interval = int(
+            (self.config.get("logging", {}) or {}).get("log_interval", 1))
+        self.gradient_logging_freq = int(
+            (self.config.get("logging", {}) or {}).get(
+                "gradient_logging_freq", 100))
+
+        steps_per_epoch = max(len(train_loader), 1)
+        self.steps_per_epoch = steps_per_epoch
+        from .optim import make_optimizer
+        self.optimizer, self.lr_schedule = make_optimizer(
+            self.training_cfg, steps_per_epoch, self.num_epochs)
+
+        # ---- init + place state ----------------------------------------
+        from ..parallel.mesh import opt_state_sharding
+        params = model.init_params(jax.random.PRNGKey(seed))
+        p_shard = param_sharding(self.mesh, params)
+        params = jax.device_put(params, p_shard)
+        opt_state = self.optimizer.init(params)
+        o_shard = opt_state_sharding(opt_state, params, p_shard, self.mesh)
+        opt_state = jax.device_put(opt_state, o_shard)
+        repl = NamedSharding(self.mesh, P())
+        # EMA starts as a COPY of params (sharing buffers would make the
+        # donated train step try to donate the same buffer twice).
+        ema_params = jax.tree_util.tree_map(jnp.copy, params)
+        state = TrainState(params=params, ema_params=ema_params,
+                           opt_state=opt_state,
+                           step=jax.device_put(jnp.zeros((), jnp.int32),
+                                               repl))
+        self.state = state
+        self._state_sharding = TrainState(
+            params=p_shard, ema_params=p_shard, opt_state=o_shard, step=repl)
+        self._batch_sharding = batch_sharding(self.mesh)
+
+        # ---- jitted steps ----------------------------------------------
+        def train_step(state: TrainState, batch, key):
+            loss, grads = jax.value_and_grad(model.loss_function)(
+                state.params, batch, key)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            d = self.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + (1.0 - d) * p, state.ema_params, params)
+            new_state = TrainState(params=params, ema_params=ema,
+                                   opt_state=opt_state, step=state.step + 1)
+            metrics = {"loss": loss,
+                       "grad_norm": optax.global_norm(grads)}
+            return new_state, metrics
+
+        self.train_step = jax.jit(
+            train_step, donate_argnums=(0,),
+            in_shardings=(self._state_sharding, self._batch_sharding, None),
+            out_shardings=(self._state_sharding, None))
+
+        def eval_step(params, batch, key):
+            return model.loss_function(params, batch, key)
+
+        self.eval_step = jax.jit(
+            eval_step,
+            in_shardings=(self._state_sharding.params,
+                          self._batch_sharding, None))
+
+        # ---- logging / checkpointing ------------------------------------
+        output_cfg = self.config.get("output", {}) or {}
+        self.output_dir = Path(output_cfg.get("output_dir",
+                                              "outputs/run")).absolute()
+        self.logger = MetricLogger(self.config,
+                                   model_name=self.config.get("model_name",
+                                                              "model"),
+                                   output_dir=str(self.output_dir))
+        self.ckpt = CheckpointManager(str(self.output_dir / "checkpoints"),
+                                      config=self.config)
+        self.best_val_loss = float("inf")
+        self.start_epoch = 0
+        if self.is_main:
+            self.logger.log_hparams({
+                "learning_rate": self.training_cfg.get("learning_rate", 0.0),
+                "batch_size": self.training_cfg.get("batch_size", 0),
+                "num_epochs": self.num_epochs,
+                "param_count": model.param_count(params),
+            })
+
+    # ------------------------------------------------------------------
+    def _global_batch(self, batch):
+        """Place a host batch with batch-axis sharding."""
+        return jax.device_put(batch, self._batch_sharding)
+
+    def _step_key(self, step: int, salt: int = 0):
+        return jax.random.fold_in(
+            jax.random.PRNGKey(self.seed + 17 * salt), step)
+
+    # ------------------------------------------------------------------
+    def train(self, num_epochs: Optional[int] = None) -> Dict[str, float]:
+        """Run the training loop (reference `train`, `ddpm_trainer.py:482-667`)."""
+        num_epochs = num_epochs if num_epochs is not None else self.num_epochs
+        state = self.state
+        history: Dict[str, float] = {}
+        pending_metrics: list = []
+        try:
+            for epoch in range(self.start_epoch,
+                               self.start_epoch + num_epochs):
+                self.train_loader.set_epoch(epoch)
+                epoch_losses = []
+                t_epoch = time.perf_counter()
+                for batch in self.train_loader:
+                    step = int(state.step)
+                    t0 = time.perf_counter()
+                    key = self._step_key(step)
+                    state, metrics = self.train_step(
+                        state, self._global_batch(batch), key)
+                    # Defer host syncs: only materialize metrics at the
+                    # logging cadence (per-step host syncs serialize the
+                    # device pipeline — the big reference slowdown).
+                    if (step % self.log_interval == 0) and self.is_main:
+                        loss = float(metrics["loss"])
+                        batch_time = time.perf_counter() - t0
+                        epoch_losses.append(loss)
+                        log = {
+                            "train/loss": loss,
+                            "train/grad_norm": float(metrics["grad_norm"]),
+                            "train/learning_rate":
+                                float(self.lr_schedule(step)),
+                            "train/epoch":
+                                epoch + (step % self.steps_per_epoch)
+                                / self.steps_per_epoch,
+                        }
+                        if (self.config.get("logging", {}) or {}).get(
+                                "track_time_metrics", False):
+                            log.update(self.logger.performance_metrics(
+                                batch_time, batch.shape[0]))
+                        if step % self.gradient_logging_freq == 0:
+                            log.update(self.logger.optimizer_metrics(
+                                None, self.lr_schedule(step)))
+                        self.logger.log(log, step)
+
+                    new_step = step + 1
+                    if self.val_interval and new_step % self.val_interval == 0:
+                        self.state = state
+                        val_loss = self.validate()
+                        self.logger.log({"val/loss": val_loss}, new_step)
+                        if val_loss < self.best_val_loss:
+                            self.best_val_loss = val_loss
+                            self.save_checkpoint("best_model", epoch)
+
+                self.state = state
+                if epoch_losses and self.is_main:
+                    self.logger.log({
+                        "epoch/train_loss": float(np.mean(epoch_losses)),
+                        "epoch/time": time.perf_counter() - t_epoch,
+                    }, int(state.step))
+                    history["train_loss"] = float(np.mean(epoch_losses))
+
+                if self.sample_interval and \
+                        (epoch + 1) % self.sample_interval == 0:
+                    self.generate_samples(epoch)
+                if self.checkpoint_interval and \
+                        (epoch + 1) % self.checkpoint_interval == 0:
+                    self.save_checkpoint(f"checkpoint_epoch_{epoch}", epoch)
+        except Exception:
+            # Emergency checkpoint then re-raise
+            # (reference `ddpm_trainer.py:662-667`).
+            self.state = state
+            epoch = int(state.step) // max(self.steps_per_epoch, 1)
+            self.save_checkpoint(f"emergency_checkpoint_epoch_{epoch}",
+                                 epoch)
+            raise
+        self.state = state
+        return history
+
+    # ------------------------------------------------------------------
+    def _run_eval(self, loader: Iterable, salt: int) -> float:
+        data_size = self.mesh.shape.get("data", 1)
+        losses = []
+        for i, batch in enumerate(loader):
+            # Trim ragged final batches to a multiple of the data axis so
+            # the batch sharding stays valid (the DistributedSampler in the
+            # reference pads instead; trimming keeps eval unbiased-enough
+            # without duplicate samples).
+            n = (batch.shape[0] // data_size) * data_size
+            if n == 0:
+                continue
+            batch = batch[:n]
+            key = self._step_key(i, salt=salt)
+            losses.append(self.eval_step(self.state.params,
+                                         self._global_batch(batch), key))
+        if not losses:
+            return float("inf")
+        return float(jnp.mean(jnp.stack(losses)))
+
+    def validate(self) -> float:
+        """Mean validation loss (reference `validate`,
+        `ddpm_trainer.py:669-725` — without its swallow-all-exceptions)."""
+        return self._run_eval(self.val_loader, salt=1)
+
+    def test(self) -> float:
+        """Mean test loss (reference `test`, `ddpm_trainer.py:727-790`)."""
+        return self._run_eval(self.test_loader, salt=2)
+
+    # ------------------------------------------------------------------
+    def generate_samples(self, epoch: int, num_samples: int = 4,
+                         use_ema: bool = False) -> Optional[str]:
+        """Sample grid with intermediates (reference `generate_samples`,
+        `ddpm_trainer.py:792-848`)."""
+        if not self.is_main:
+            return None
+        params = self.state.ema_params if use_ema else self.state.params
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 99), epoch)
+        frames = self.model.generate_samples_with_intermediates(
+            params, key, num_samples)
+        grid = frames_to_grid([np.asarray(f) for f in frames])
+        path = self.output_dir / "samples" / f"epoch_{epoch}.png"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        out = save_image(grid.astype(np.float32) / 127.5 - 1.0, str(path))
+        self.logger.log_image("samples", grid, int(self.state.step))
+        return out
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, name: str, epoch: int) -> Optional[str]:
+        """Full-state checkpoint (schema: SURVEY.md §5.4)."""
+        state = {
+            "params": self.state.params,
+            "ema_params": self.state.ema_params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "epoch": jnp.asarray(epoch, jnp.int32),
+            "best_val_loss": jnp.asarray(self.best_val_loss, jnp.float32),
+        }
+        return self.ckpt.save(name, state)
+
+    def load_checkpoint(self, name: Optional[str] = None) -> int:
+        """Restore full state; returns the epoch to resume from
+        (reference `load_checkpoint`, `ddpm_trainer.py:897-924`)."""
+        if name is None:
+            name = self.ckpt.latest_epoch_checkpoint()
+            if name is None:
+                raise FileNotFoundError(
+                    f"no checkpoint_epoch_* under {self.ckpt.directory}")
+        target = {
+            "params": self.state.params,
+            "ema_params": self.state.ema_params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "epoch": jnp.zeros((), jnp.int32),
+            "best_val_loss": jnp.zeros((), jnp.float32),
+        }
+        restored = self.ckpt.restore(name, target)
+        self.state = TrainState(params=restored["params"],
+                                ema_params=restored["ema_params"],
+                                opt_state=restored["opt_state"],
+                                step=jnp.asarray(restored["step"]))
+        self.best_val_loss = float(restored["best_val_loss"])
+        self.start_epoch = int(restored["epoch"]) + 1
+        return self.start_epoch
+
+    def cleanup(self) -> None:
+        self.logger.close()

@@ -1,0 +1,267 @@
+"""Sample-quality benchmark harness: FID, Inception Score, SSIM, PSNR.
+
+Capability parity with the reference's `utils/benchmarks.py:27-278`, pure
+JAX throughout, with defect D10 fixed (the reference computed the
+"Inception Score" on 2048-d pooled features because it replaced the
+classifier head with Identity; here IS uses real class logits).
+
+Feature extractor: the reference downloads ImageNet InceptionV3 weights
+(`benchmarks.py:33-40`). This environment has zero network egress, so the
+default extractor is a FIXED RANDOM convolutional network (seeded, so
+scores are comparable across runs/models) producing 2048-d pooled features
+and 1000-way logits — the "Fréchet distance with random features" variant,
+which preserves ordering for model comparison. If torchvision InceptionV3
+weights ARE locally cached, pass ``use_inception=True`` to use them.
+
+FID math (reference `benchmarks.py:77-111`): μ/Σ per set, matrix sqrt of
+Σ₁Σ₂ via the symmetric √Σ₁·Σ₂·√Σ₁ eigendecomposition with eigenvalue
+clamping ≥ 1e-8.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+# --------------------------------------------------------------------------
+# Feature extractor
+# --------------------------------------------------------------------------
+
+class FeatureExtractor:
+    """Fixed random conv-net: images → (2048-d features, 1000-d logits).
+
+    5 stride-2 conv stages (He-init, seeded) + global average pool, then a
+    fixed linear head for logits. Inputs are NHWC in [-1, 1]; resized to
+    64² (large enough for 5 stages, small enough to be fast).
+    """
+
+    def __init__(self, seed: int = 0, feature_dim: int = 2048,
+                 num_classes: int = 1000):
+        key = jax.random.PRNGKey(seed)
+        ks = jax.random.split(key, 7)
+        widths = [64, 128, 256, 512, feature_dim]
+        self.filters = []
+        cin = 3
+        for i, w in enumerate(widths):
+            fan_in = 9 * cin
+            self.filters.append(
+                jax.random.normal(ks[i], (3, 3, cin, w)) *
+                (2.0 / fan_in) ** 0.5)
+            cin = w
+        self.head = jax.random.normal(
+            ks[5], (feature_dim, num_classes)) * feature_dim ** -0.5
+        self._extract = jax.jit(self._extract_impl)
+
+    def _extract_impl(self, x: Array):
+        if x.shape[-1] == 1:
+            x = jnp.repeat(x, 3, axis=-1)
+        x = jax.image.resize(x, (x.shape[0], 64, 64, 3), "bilinear")
+        h = x
+        for w in self.filters:
+            h = jax.lax.conv_general_dilated(
+                h, w, (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            h = jax.nn.relu(h)
+        feats = jnp.mean(h, axis=(1, 2))
+        logits = feats @ self.head
+        return feats, logits
+
+    def __call__(self, images: Array):
+        return self._extract(images)
+
+
+def make_extractor(use_inception: bool = False, seed: int = 0):
+    """Return the feature extractor; try torchvision InceptionV3 only on
+    request (weights must already be cached locally — zero egress)."""
+    if use_inception:
+        try:
+            return _TorchInceptionExtractor()
+        except Exception as e:
+            print(f"[benchmarks] InceptionV3 unavailable ({e}); "
+                  "falling back to the fixed random extractor")
+    return FeatureExtractor(seed=seed)
+
+
+class _TorchInceptionExtractor:  # pragma: no cover - needs cached weights
+    """InceptionV3 pooled features + logits via torch (CPU), matching the
+    reference's extractor (`benchmarks.py:27-75`) but keeping the real
+    classifier head so IS uses logits (fix of D10)."""
+
+    def __init__(self):
+        import torch
+        from torchvision.models import Inception_V3_Weights, inception_v3
+        self.torch = torch
+        self.net = inception_v3(weights=Inception_V3_Weights.IMAGENET1K_V1)
+        self.net.eval()
+        self.feats = None
+        self.net.avgpool.register_forward_hook(
+            lambda m, i, o: setattr(self, "feats",
+                                    o.flatten(1).detach()))
+
+    def __call__(self, images: Array):
+        torch = self.torch
+        x = np.asarray(images).transpose(0, 3, 1, 2)
+        x = torch.from_numpy((x + 1.0) / 2.0).float()
+        x = torch.nn.functional.interpolate(x, size=(299, 299),
+                                            mode="bilinear")
+        with torch.no_grad():
+            logits = self.net(x)
+        return (jnp.asarray(self.feats.numpy()),
+                jnp.asarray(logits.numpy()))
+
+
+# --------------------------------------------------------------------------
+# Metrics (pure functions)
+# --------------------------------------------------------------------------
+
+def covariance(feats: Array) -> Array:
+    """Unbiased covariance (reference `torch_cov`, `benchmarks.py:145-163`)."""
+    centered = feats - jnp.mean(feats, axis=0, keepdims=True)
+    return centered.T @ centered / (feats.shape[0] - 1)
+
+
+@jax.jit
+def frechet_distance(feats1: Array, feats2: Array) -> Array:
+    """FID between two feature sets (reference `calculate_fid`,
+    `benchmarks.py:77-111`): ‖μ₁−μ₂‖² + tr(Σ₁+Σ₂−2(Σ₁Σ₂)^{1/2})."""
+    mu1, mu2 = jnp.mean(feats1, axis=0), jnp.mean(feats2, axis=0)
+    s1, s2 = covariance(feats1), covariance(feats2)
+    # √Σ₁ via eigendecomposition (symmetric PSD up to clamping).
+    w1, v1 = jnp.linalg.eigh(s1)
+    sqrt_s1 = (v1 * jnp.sqrt(jnp.clip(w1, 1e-8, None))) @ v1.T
+    m = sqrt_s1 @ s2 @ sqrt_s1
+    wm = jnp.linalg.eigvalsh(m)
+    trace_sqrt = jnp.sum(jnp.sqrt(jnp.clip(wm, 1e-8, None)))
+    diff = mu1 - mu2
+    return (diff @ diff + jnp.trace(s1) + jnp.trace(s2) - 2.0 * trace_sqrt)
+
+
+def inception_score(logits: Array, splits: int = 10):
+    """IS over class LOGITS with the standard 10-split protocol
+    (reference `calculate_inception_score`, `benchmarks.py:113-143`;
+    fixed per defect D10 to consume logits rather than pooled features)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    n = probs.shape[0]
+    split_size = max(n // splits, 1)
+    scores = []
+    for i in range(splits):
+        part = probs[i * split_size:(i + 1) * split_size]
+        if part.shape[0] == 0:
+            continue
+        marginal = jnp.mean(part, axis=0, keepdims=True)
+        kl = jnp.sum(part * (jnp.log(part + 1e-10)
+                             - jnp.log(marginal + 1e-10)), axis=-1)
+        scores.append(jnp.exp(jnp.mean(kl)))
+    scores = jnp.stack(scores)
+    return float(jnp.mean(scores)), float(jnp.std(scores))
+
+
+@jax.jit
+def psnr(pred: Array, target: Array, value_range: float = 2.0) -> Array:
+    """Peak signal-to-noise ratio over a batch ([-1,1] images ⇒ range 2)."""
+    mse = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
+    return jnp.mean(20.0 * jnp.log10(value_range)
+                    - 10.0 * jnp.log10(mse + 1e-12))
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def ssim(pred: Array, target: Array, value_range: float = 2.0,
+         window: int = 11) -> Array:
+    """Mean SSIM with a uniform window (the torchmetrics default the
+    reference uses is Gaussian-windowed; uniform is the standard
+    simplification with near-identical ranking behavior)."""
+    c1 = (0.01 * value_range) ** 2
+    c2 = (0.03 * value_range) ** 2
+    kernel = jnp.ones((window, window, 1, 1)) / (window * window)
+    ch = pred.shape[-1]
+    kernel = jnp.tile(kernel, (1, 1, 1, ch))
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=ch)
+
+    mu_p, mu_t = filt(pred), filt(target)
+    sigma_p = filt(pred * pred) - mu_p ** 2
+    sigma_t = filt(target * target) - mu_t ** 2
+    sigma_pt = filt(pred * target) - mu_p * mu_t
+    num = (2 * mu_p * mu_t + c1) * (2 * sigma_pt + c2)
+    den = (mu_p ** 2 + mu_t ** 2 + c1) * (sigma_p + sigma_t + c2)
+    return jnp.mean(num / den)
+
+
+# --------------------------------------------------------------------------
+# Harness
+# --------------------------------------------------------------------------
+
+class DiffusionBenchmark:
+    """End-to-end evaluation harness (reference `DiffusionBenchmark`,
+    `benchmarks.py:165-278`): collects real-set features, generates
+    ``n_samples`` with the model, and reports
+    {fid, is_mean, is_std, ssim, psnr}."""
+
+    def __init__(self, n_samples: int = 2000, batch_size: int = 128,
+                 use_inception: bool = False, seed: int = 0,
+                 metrics: Optional[Dict[str, bool]] = None):
+        self.n_samples = n_samples
+        self.batch_size = batch_size
+        self.extractor = make_extractor(use_inception, seed)
+        self.seed = seed
+        self.metrics = metrics or {"fid": True, "inception_score": True,
+                                   "ssim": True, "psnr": True}
+
+    def evaluate(self, model, params, test_loader: Iterable
+                 ) -> Dict[str, float]:
+        real_feats, real_batches = [], []
+        for batch in test_loader:
+            feats, _ = self.extractor(batch)
+            real_feats.append(np.asarray(feats))
+            real_batches.append(np.asarray(batch))
+        real_feats = np.concatenate(real_feats) if real_feats else None
+
+        fake_feats, fake_logits = [], []
+        ssim_vals, psnr_vals = [], []
+        key = jax.random.PRNGKey(self.seed)
+        remaining = self.n_samples
+        i = 0
+        while remaining > 0:
+            bs = min(self.batch_size, remaining)
+            key, sub = jax.random.split(key)
+            samples = model.generate_samples(params, sub, bs)
+            feats, logits = self.extractor(samples)
+            fake_feats.append(np.asarray(feats))
+            fake_logits.append(np.asarray(logits))
+            if real_batches:
+                ref = real_batches[i % len(real_batches)]
+                n = min(len(ref), bs)
+                if self.metrics.get("ssim", True):
+                    ssim_vals.append(float(ssim(samples[:n],
+                                                jnp.asarray(ref[:n]))))
+                if self.metrics.get("psnr", True):
+                    psnr_vals.append(float(psnr(samples[:n],
+                                                jnp.asarray(ref[:n]))))
+            remaining -= bs
+            i += 1
+
+        results: Dict[str, float] = {}
+        fake_feats = np.concatenate(fake_feats)
+        fake_logits = np.concatenate(fake_logits)
+        if self.metrics.get("fid", True) and real_feats is not None:
+            results["fid"] = float(frechet_distance(
+                jnp.asarray(real_feats), jnp.asarray(fake_feats)))
+        if self.metrics.get("inception_score", True):
+            m, s = inception_score(jnp.asarray(fake_logits))
+            results["is_mean"], results["is_std"] = m, s
+        if ssim_vals:
+            results["ssim"] = float(np.mean(ssim_vals))
+        if psnr_vals:
+            results["psnr"] = float(np.mean(psnr_vals))
+        return results

@@ -1,0 +1,148 @@
+"""Distributed-correctness tests on the 8-device virtual CPU mesh
+(SURVEY.md §4 'Distributed': the pmean-synced loss must equal the
+single-device loss on the same global batch)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from diffusion_model_universal_tpu.models import DDPM
+from diffusion_model_universal_tpu.parallel import mesh as M
+from diffusion_model_universal_tpu.trainers import DDPMTrainer
+from diffusion_model_universal_tpu.datasets import (DeviceDataLoader,
+                                                    make_augment_fn)
+from diffusion_model_universal_tpu.datasets.sources import make_synthetic
+
+TINY = {
+    "num_timesteps": 8, "image_size": 32, "in_channels": 3,
+    "model_channels": 8, "compute_dtype": "float32", "use_pallas": False,
+    "remat": False, "loss_config": {"use_time_weighting": False},
+}
+
+
+def _config(tmp_path, batch_size=16):
+    return {
+        "model_name": "DDPM",
+        "training": {"num_epochs": 1, "batch_size": batch_size,
+                     "learning_rate": 1e-3,
+                     "scheduler": {"type": "constant"}, "ema_decay": 0.99,
+                     "val_interval": 0, "sample_interval": 0,
+                     "checkpoint_interval": 0},
+        "logging": {"use_wandb": False, "use_tensorboard": False},
+        "output": {"output_dir": str(tmp_path / "out")},
+    }
+
+
+def _loader(batch_size=16, n=64):
+    imgs = make_synthetic(num_samples=n, image_size=32)
+    aug = make_augment_fn([{"name": "normalize"}], [0.5] * 3, [0.5] * 3,
+                          train=True)
+    return DeviceDataLoader(imgs, batch_size=batch_size, augment=aug)
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    mesh = M.make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = M.make_mesh(model_parallel=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        M.make_mesh(data_parallel=3, model_parallel=2)
+
+
+def test_batch_sharding_places_shards():
+    mesh = M.make_mesh()
+    x = jnp.zeros((16, 4, 4, 3))
+    xs = M.shard_batch(mesh, x)
+    assert len(xs.sharding.device_set) == 8
+    # Each device holds 16/8 = 2 rows.
+    shard = xs.addressable_shards[0]
+    assert shard.data.shape == (2, 4, 4, 3)
+
+
+def test_param_sharding_fsdp_axis():
+    mesh = M.make_mesh(model_parallel=2)
+    params = {"big": jnp.zeros((512, 512)), "small": jnp.zeros((4,))}
+    shardings = M.param_sharding(mesh, params)
+    assert shardings["big"].spec != P()     # sharded somewhere
+    assert shardings["small"].spec == P()   # replicated
+
+
+def test_dp_train_step_matches_single_device(tmp_path):
+    """8-way DP on a replicated model must produce the same loss and the
+    same updated params as a 1-device run on the same global batch."""
+    cfg = _config(tmp_path)
+    loader = _loader()
+    batch = next(iter(loader))
+
+    model = DDPM(TINY)
+    tr8 = DDPMTrainer(model, loader, loader, loader, cfg,
+                      mesh=M.make_mesh())
+    tr1 = DDPMTrainer(model, loader, loader, loader, cfg,
+                      mesh=M.make_mesh(jax.devices()[:1]))
+
+    key = tr8._step_key(0)
+    s8, m8 = tr8.train_step(tr8.state, tr8._global_batch(batch), key)
+    s1, m1 = tr1.train_step(tr1.state, tr1._global_batch(batch), key)
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    for a, b in zip(l8, l1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+    tr8.cleanup()
+    tr1.cleanup()
+
+
+def test_fsdp_mesh_train_step_runs(tmp_path):
+    """4×2 (data×model) mesh: sharded params + sharded batch compile and
+    produce a finite loss matching the replicated run."""
+    cfg = _config(tmp_path)
+    loader = _loader()
+    batch = next(iter(loader))
+    model = DDPM(dict(TINY, model_channels=16))
+
+    tr = DDPMTrainer(model, loader, loader, loader, cfg,
+                     mesh=M.make_mesh(model_parallel=2))
+    trr = DDPMTrainer(model, loader, loader, loader, cfg,
+                      mesh=M.make_mesh(jax.devices()[:1]))
+    key = tr._step_key(0)
+    s, m = tr.train_step(tr.state, tr._global_batch(batch), key)
+    sr, mr = trr.train_step(trr.state, trr._global_batch(batch), key)
+    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_allclose(float(m["loss"]), float(mr["loss"]),
+                               rtol=1e-4)
+    tr.cleanup()
+    trr.cleanup()
+
+
+def test_graft_entry_dryrun():
+    """The driver's multi-chip dry run must pass on the CPU mesh."""
+    import importlib.util
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        pathlib.Path(__file__).resolve().parent.parent / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_opt_state_sharding_structure():
+    import optax
+    mesh = M.make_mesh(model_parallel=2)
+    params = {"w": jnp.zeros((256, 128)), "b": jnp.zeros((4,))}
+    p_shard = M.param_sharding(mesh, params)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    opt_state = opt.init(params)
+    o_shard = M.opt_state_sharding(opt_state, params, p_shard, mesh)
+    placed = jax.device_put(opt_state, o_shard)  # structure-compatible
+    assert jax.tree_util.tree_structure(placed) == \
+        jax.tree_util.tree_structure(opt_state)

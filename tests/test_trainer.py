@@ -1,0 +1,195 @@
+"""Trainer tests: train step, schedulers, EMA, checkpoint/resume, eval."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_model_universal_tpu.datasets import get_dataset
+from diffusion_model_universal_tpu.models import DDPM
+from diffusion_model_universal_tpu.trainers import (TRAINER_REGISTRY,
+                                                    DDPMTrainer,
+                                                    make_lr_schedule)
+
+
+def _tiny_config(tmp_path, **overrides):
+    cfg = {
+        "model_name": "DDPM",
+        "model_config": {
+            "num_timesteps": 8, "image_size": 32, "in_channels": 3,
+            "model_channels": 8, "compute_dtype": "float32",
+            "use_pallas": False, "remat": False,
+            "loss_config": {"use_time_weighting": False},
+        },
+        "training": {
+            "num_epochs": 1, "batch_size": 8, "learning_rate": 1e-3,
+            "beta1": 0.9, "beta2": 0.999, "ema_decay": 0.99,
+            "scheduler": {"type": "constant"},
+            "val_interval": 0, "sample_interval": 0,
+            "checkpoint_interval": 0,
+        },
+        "data": {"dataset": "synthetic", "data_dir": "unused"},
+        "logging": {"use_wandb": False, "use_tensorboard": False},
+        "output": {"output_dir": str(tmp_path / "out")},
+    }
+    for k, v in overrides.items():
+        cfg[k].update(v) if isinstance(v, dict) and k in cfg else cfg.update(
+            {k: v})
+    return cfg
+
+
+@pytest.fixture()
+def trainer(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    train, val, test = get_dataset(cfg)
+    model = DDPM(cfg["model_config"])
+    tr = DDPMTrainer(model, train, val, test, cfg)
+    yield tr
+    tr.cleanup()
+
+
+def test_registry_complete():
+    assert set(TRAINER_REGISTRY) == {"ddpm", "ddim", "score_based",
+                                     "energy_based"}
+
+
+def test_train_step_decreases_loss(trainer):
+    """A few steps on a fixed batch must reduce the loss."""
+    batch = next(iter(trainer.train_loader))
+    state = trainer.state
+    losses = []
+    for i in range(12):
+        key = trainer._step_key(i)
+        state, metrics = trainer.train_step(state,
+                                            trainer._global_batch(batch),
+                                            key)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_ema_tracks_params(trainer):
+    batch = next(iter(trainer.train_loader))
+    state = trainer.state
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    for i in range(3):
+        state, _ = trainer.train_step(state, trainer._global_batch(batch),
+                                      trainer._step_key(i))
+    p = jax.tree_util.tree_leaves(state.params)[0]
+    e = jax.tree_util.tree_leaves(state.ema_params)[0]
+    # EMA moved away from init but less than params did.
+    assert not np.allclose(np.asarray(e), np.asarray(p0))
+    assert float(jnp.sum((e - p0) ** 2)) < float(jnp.sum((p - p0) ** 2))
+
+
+def test_full_train_epoch_and_history(trainer):
+    history = trainer.train(1)
+    assert "train_loss" in history
+    assert np.isfinite(history["train_loss"])
+    assert int(trainer.state.step) == len(trainer.train_loader)
+
+
+def test_validate_and_test(trainer):
+    v1 = trainer.validate()
+    v2 = trainer.validate()
+    assert np.isfinite(v1)
+    assert v1 == pytest.approx(v2)  # fixed eval rngs → deterministic
+    t = trainer.test()
+    assert np.isfinite(t)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    train, val, test = get_dataset(cfg)
+    model = DDPM(cfg["model_config"])
+    tr = DDPMTrainer(model, train, val, test, cfg)
+    tr.train(1)
+    tr.best_val_loss = 0.123
+    path = tr.save_checkpoint("checkpoint_epoch_0", 0)
+    assert path is not None
+
+    tr2 = DDPMTrainer(DDPM(cfg["model_config"]), train, val, test, cfg)
+    start = tr2.load_checkpoint()
+    assert start == 1
+    assert tr2.best_val_loss == pytest.approx(0.123)
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                    jax.tree_util.tree_leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Optimizer state restored with correct structure: next step works.
+    batch = next(iter(train))
+    state, metrics = tr2.train_step(tr2.state, tr2._global_batch(batch),
+                                    tr2._step_key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    tr.cleanup()
+    tr2.cleanup()
+
+
+def test_emergency_checkpoint_on_failure(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    train, val, test = get_dataset(cfg)
+    model = DDPM(cfg["model_config"])
+    tr = DDPMTrainer(model, train, val, test, cfg)
+
+    class Boom(Exception):
+        pass
+
+    # Poison the loader after the first batch.
+    class FailingLoader:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __len__(self):
+            return len(self.inner)
+
+        def set_epoch(self, e):
+            self.inner.set_epoch(e)
+
+        def __iter__(self):
+            yield next(iter(self.inner))
+            raise Boom()
+
+    tr.train_loader = FailingLoader(train)
+    with pytest.raises(Boom):
+        tr.train(1)
+    assert any(p.name.startswith("emergency_checkpoint")
+               for p in tr.ckpt.directory.iterdir())
+    tr.cleanup()
+
+
+def test_lr_schedules_shapes():
+    tcfg = {"learning_rate": 1e-3}
+    for stype in ("cosine", "linear", "step", "exponential", "one_cycle",
+                  "constant"):
+        s = make_lr_schedule(
+            {**tcfg, "scheduler": {"type": stype, "warmup_steps": 5,
+                                   "min_lr": 1e-6, "gamma": 0.5,
+                                   "step_size": 1}},
+            steps_per_epoch=10, num_epochs=4)
+        vals = [float(s(i)) for i in (0, 10, 39)]
+        assert all(np.isfinite(v) and v >= 0 for v in vals), stype
+    # cosine decays to ~min_lr at the end
+    s = make_lr_schedule({**tcfg, "scheduler": {"type": "cosine",
+                                                "min_lr": 1e-6}},
+                         steps_per_epoch=10, num_epochs=4)
+    assert float(s(40)) == pytest.approx(1e-6, rel=0.1)
+    # step halves after step_size epochs
+    s = make_lr_schedule({**tcfg, "scheduler": {"type": "step", "gamma": 0.5,
+                                                "step_size": 1}},
+                         steps_per_epoch=10, num_epochs=4)
+    assert float(s(0)) == pytest.approx(1e-3)
+    assert float(s(10)) == pytest.approx(5e-4)
+    with pytest.raises(ValueError):
+        make_lr_schedule({**tcfg, "scheduler": {"type": "bogus"}}, 1, 1)
+
+
+def test_sample_grid_written(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    cfg["training"]["sample_interval"] = 1
+    train, val, test = get_dataset(cfg)
+    model = DDPM(cfg["model_config"])
+    tr = DDPMTrainer(model, train, val, test, cfg)
+    out = tr.generate_samples(0, num_samples=2)
+    assert out is not None and out.endswith(".png")
+    import os
+    assert os.path.exists(out)
+    tr.cleanup()
