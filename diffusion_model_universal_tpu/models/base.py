@@ -53,8 +53,11 @@ class BaseDiffusionModel:
             dtype_name = ("bfloat16" if jax.default_backend() == "tpu"
                           else "float32")
         self.compute_dtype = jnp.dtype(dtype_name)
-        self.use_pallas: bool = self.config.get(
-            "use_pallas", jax.default_backend() == "tpu")
+        # Pallas kernels are opt-in: measured on v5e, the current fused
+        # GN/attention kernels lose to XLA's own fusion for this UNet's
+        # small spatial shapes (A/B: 8.6k vs 6.6k img/s fwd+bwd at C=128,
+        # B=256) — XLA is the fast path until the kernels win.
+        self.use_pallas: bool = self.config.get("use_pallas", False)
 
     # -- abstract surface -------------------------------------------------
     def init_params(self, rng: Array) -> Params:

@@ -1,0 +1,120 @@
+"""Tests for the FID/IS/SSIM/PSNR harness and image utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_model_universal_tpu.utils import benchmarks as B
+from diffusion_model_universal_tpu.utils import images as I
+
+
+def test_covariance_matches_numpy():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(200, 8)).astype(np.float32)
+    c = np.asarray(B.covariance(jnp.asarray(x)))
+    np.testing.assert_allclose(c, np.cov(x, rowvar=False), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fid_zero_for_identical_distribution():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(500, 16)), jnp.float32)
+    fid_same = float(B.frechet_distance(x, x))
+    assert abs(fid_same) < 1e-2
+    y = jnp.asarray(rng.normal(size=(500, 16)) * 2 + 3, jnp.float32)
+    assert float(B.frechet_distance(x, y)) > 1.0
+
+
+def test_fid_increases_with_shift():
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(400, 8)).astype(np.float32)
+    f1 = float(B.frechet_distance(jnp.asarray(base),
+                                  jnp.asarray(base + 0.5)))
+    f2 = float(B.frechet_distance(jnp.asarray(base),
+                                  jnp.asarray(base + 2.0)))
+    assert f2 > f1 > 0
+
+
+def test_inception_score_bounds():
+    # Uniform logits → IS ≈ 1; confident diverse logits → IS >> 1.
+    n, k = 100, 10
+    uniform = jnp.zeros((n, k))
+    m, s = B.inception_score(uniform, splits=5)
+    assert m == pytest.approx(1.0, abs=1e-3)
+    confident = jnp.asarray(np.eye(k)[np.arange(n) % k] * 50, jnp.float32)
+    m2, _ = B.inception_score(confident, splits=5)
+    assert m2 > 5.0
+
+
+def test_psnr_and_ssim_perfect_match():
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, 16, 16, 3)),
+                    jnp.float32)
+    assert float(B.psnr(x, x)) > 80
+    assert float(B.ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
+    noisy = x + 0.5
+    assert float(B.psnr(x, noisy)) < 20
+    assert float(B.ssim(x, noisy)) < 1.0
+
+
+def test_feature_extractor_shapes_and_determinism():
+    ext = B.FeatureExtractor(seed=0)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (4, 32, 32, 3)),
+                    jnp.float32)
+    f1, l1 = ext(x)
+    assert f1.shape == (4, 2048)
+    assert l1.shape == (4, 1000)
+    ext2 = B.FeatureExtractor(seed=0)
+    f2, _ = ext2(x)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-5)
+    # grayscale input works
+    g = jnp.ones((2, 16, 16, 1))
+    fg, lg = ext(g)
+    assert fg.shape == (2, 2048)
+
+
+def test_diffusion_benchmark_end_to_end():
+    """Smoke the harness with a fake model that 'generates' noise."""
+
+    class FakeModel:
+        def generate_samples(self, params, key, n):
+            return jax.random.normal(key, (n, 16, 16, 3)) * 0.5
+
+    loader = [jnp.asarray(np.random.default_rng(i).uniform(
+        -1, 1, (8, 16, 16, 3)), jnp.float32) for i in range(3)]
+    bench = B.DiffusionBenchmark(n_samples=16, batch_size=8)
+    results = bench.evaluate(FakeModel(), None, loader)
+    assert set(results) == {"fid", "is_mean", "is_std", "ssim", "psnr"}
+    assert all(np.isfinite(v) for v in results.values())
+
+
+def test_make_grid_layout():
+    imgs = np.zeros((4, 2, 2, 3), np.uint8)
+    imgs[0] = 255
+    grid = I.make_grid(imgs, nrow=2, padding=1)
+    assert grid.shape == (2 * 3 + 1, 2 * 3 + 1, 3)
+    assert grid[1, 1, 0] == 255  # first image top-left
+    assert grid[1, 4, 0] == 0    # second image
+
+
+def test_to_uint8_range():
+    x = np.array([[-1.0, 0.0, 1.0]])[..., None, None]
+    out = I.to_uint8(x.transpose(0, 2, 3, 1))
+    assert out.min() == 0 and out.max() == 255
+
+
+def test_save_image_png(tmp_path):
+    x = np.random.default_rng(0).uniform(-1, 1, (4, 8, 8, 3))
+    path = I.save_image(x, str(tmp_path / "grid.png"), nrow=2)
+    assert path.endswith(".png")
+    from PIL import Image
+    img = Image.open(path)
+    assert img.size[0] > 8
+
+
+def test_frames_to_grid():
+    frames = [np.zeros((2, 4, 4, 3)) for _ in range(3)]
+    grid = I.frames_to_grid(frames)
+    # 2 samples × 3 frames → grid with 3 columns, 2 rows
+    assert grid.shape[0] == 2 * 6 + 2  # 2 rows of 4px + padding
+    assert grid.shape[1] == 3 * 6 + 2

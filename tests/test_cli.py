@@ -1,0 +1,109 @@
+"""End-to-end CLI tests: the minimum slice from SURVEY.md §7 —
+config → data → model → trainer → checkpoint → generate reload."""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+
+def _write_config(tmp_path, model_type="ddpm"):
+    extra = ""
+    if model_type == "ddim":
+        extra = "  ddim_sampling_steps: 4\n  eta: 0.0\n"
+    cfg = textwrap.dedent(f"""
+        model_name: "{model_type.upper()}"
+        model_config:
+          time_steps: 8
+          beta_start: 0.0001
+          beta_end: 0.02
+          image_size: 32
+          image_channels: 3
+          hidden_channels: 8
+          compute_dtype: float32
+          use_pallas: false
+          remat: false
+          loss_type: mse
+          loss_config:
+            use_time_weighting: false
+        {extra}
+        training:
+          num_epochs: 1
+          batch_size: 8
+          learning_rate: 1e-3
+          ema_decay: 0.99
+          scheduler:
+            type: constant
+          val_interval: 0
+          sample_interval: 0
+          checkpoint_interval: 1
+        data:
+          dataset: "synthetic"
+          data_dir: "unused"
+        logging:
+          use_wandb: false
+          use_tensorboard: false
+          log_interval: 1000
+        output:
+          output_dir: "{tmp_path}/out"
+    """)
+    path = tmp_path / f"{model_type}.yaml"
+    path.write_text(cfg)
+    return path
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end(tmp_path):
+    """train.py runs a full tiny epoch, writes checkpoints, then
+    generate.py reloads and samples — the reference's primary user flow
+    (`scripts/train.py` + `scripts/generate.py`)."""
+    from diffusion_model_universal_tpu.scripts import train as train_cli
+
+    cfg_path = _write_config(tmp_path)
+    rc = train_cli.main(["--config", str(cfg_path), "--model_type", "ddpm"])
+    assert rc == 0
+    ckpt_dir = tmp_path / "out" / "checkpoints"
+    names = {p.name for p in ckpt_dir.iterdir()}
+    assert "checkpoint_epoch_0" in names
+    assert "final_model" in names
+
+    from diffusion_model_universal_tpu.scripts import generate as gen_cli
+    out_dir = tmp_path / "gen"
+    rc = gen_cli.main(["--config", str(cfg_path), "--model_type", "ddpm",
+                       "--checkpoint", str(ckpt_dir / "final_model"),
+                       "--num_samples", "4", "--output_dir", str(out_dir),
+                       "--grid_only"])
+    assert rc == 0
+    assert (out_dir / "samples_grid.png").exists()
+
+
+@pytest.mark.slow
+def test_train_cli_resume(tmp_path):
+    from diffusion_model_universal_tpu.scripts import train as train_cli
+
+    cfg_path = _write_config(tmp_path)
+    assert train_cli.main(["--config", str(cfg_path),
+                           "--model_type", "ddpm"]) == 0
+    # Resume from latest; num_epochs(1) − start_epoch(1) = 0 further epochs.
+    assert train_cli.main(["--config", str(cfg_path), "--model_type", "ddpm",
+                           "--resume", "latest"]) == 0
+
+
+def test_argparser_surface():
+    """CLI flag parity with the reference (`train.py:211-220`,
+    `generate.py:81-89`)."""
+    from diffusion_model_universal_tpu.scripts import generate as gen_cli
+    from diffusion_model_universal_tpu.scripts import train as train_cli
+
+    tp = train_cli.build_argparser()
+    args = tp.parse_args(["--config", "c.yaml", "--model_type", "ddpm",
+                          "--resume", "x", "--eval_only", "--benchmark"])
+    assert args.eval_only and args.benchmark and args.resume == "x"
+
+    gp = gen_cli.build_argparser()
+    args = gp.parse_args(["--config", "c.yaml", "--model_type", "ddim",
+                          "--checkpoint", "ck", "--num_samples", "9",
+                          "--output_dir", "o"])
+    assert args.num_samples == 9
+    with pytest.raises(SystemExit):
+        tp.parse_args(["--config", "c.yaml", "--model_type", "bogus"])

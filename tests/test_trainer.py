@@ -38,8 +38,12 @@ def _tiny_config(tmp_path, **overrides):
     return cfg
 
 
-@pytest.fixture()
-def trainer(tmp_path):
+# Module-scoped: the trainer's jitted train step costs ~40 s to compile on
+# the 8-device CPU mesh; tests below only read or advance state, so one
+# shared instance is safe and cuts suite time ~5×.
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("trainer")
     cfg = _tiny_config(tmp_path)
     train, val, test = get_dataset(cfg)
     model = DDPM(cfg["model_config"])
