@@ -73,9 +73,24 @@ def test_param_sharding_fsdp_axis():
     assert shardings["small"].spec == P()   # replicated
 
 
-def test_dp_train_step_matches_single_device(tmp_path):
-    """8-way DP on a replicated model must produce the same loss and the
-    same updated params as a 1-device run on the same global batch."""
+def test_dp_train_step_matches_single_device(tmp_path, monkeypatch):
+    """8-way DP on a replicated model must produce the same loss, gradient
+    norm, and updated params as a 1-device run on the same global batch.
+
+    Uses SGD for the param comparison: a first Adam step is sign-like
+    (update ≈ ±lr·sign(g)), so reduction-order float noise on noise-floor
+    gradients flips whole updates — not a distributed-correctness signal.
+    With SGD, update = lr·grad, and parity holds to float precision.
+    """
+    import optax as _optax
+    from diffusion_model_universal_tpu.trainers import optim as optim_mod
+
+    def sgd_optimizer(training_cfg, steps_per_epoch, num_epochs):
+        sched = _optax.constant_schedule(1e-3)
+        return _optax.sgd(sched), sched
+
+    monkeypatch.setattr(optim_mod, "make_optimizer", sgd_optimizer)
+
     cfg = _config(tmp_path)
     loader = _loader()
     batch = next(iter(loader))
@@ -92,21 +107,13 @@ def test_dp_train_step_matches_single_device(tmp_path):
 
     np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
                                rtol=1e-5)
-    # Adam normalizes near-zero grads on the zero-init layers, amplifying
-    # reduction-order float noise to ~1e-6 absolute — compare at the scale
-    # of a real update (lr=1e-3).
+    np.testing.assert_allclose(float(m8["grad_norm"]),
+                               float(m1["grad_norm"]), rtol=1e-5)
     l8 = jax.tree_util.tree_leaves(s8.params)
     l1 = jax.tree_util.tree_leaves(s1.params)
     for a, b in zip(l8, l1):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
-                                   atol=5e-5)
-    # Functional equivalence: the updated params must score the next batch
-    # identically (catches real divergence that elementwise noise cannot).
-    l8b = float(tr8.train_step(s8, tr8._global_batch(batch),
-                               tr8._step_key(1))[1]["loss"])
-    l1b = float(tr1.train_step(s1, tr1._global_batch(batch),
-                               tr1._step_key(1))[1]["loss"])
-    np.testing.assert_allclose(l8b, l1b, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
     tr8.cleanup()
     tr1.cleanup()
 
