@@ -103,12 +103,17 @@ def main(argv=None) -> int:
             bench_cfg = config.get("benchmark", {}) or {}
             bench = DiffusionBenchmark(
                 n_samples=bench_cfg.get("n_samples", 2000),
-                batch_size=bench_cfg.get("batch_size", 128))
-            results = bench.evaluate(model, trainer.state.params,
-                                     test_loader)
+                batch_size=bench_cfg.get("batch_size", 128),
+                metrics=bench_cfg.get("metrics"))
             out_dir = Path(config.get("output", {}).get(
                 "output_dir", "outputs"))
             out_dir.mkdir(parents=True, exist_ok=True)
+            sample_dir = None
+            if bench_cfg.get("save_samples", False):
+                sample_dir = str(out_dir / bench_cfg.get(
+                    "sample_dir", "benchmark_samples"))
+            results = bench.evaluate(model, trainer.state.params,
+                                     test_loader, sample_dir=sample_dir)
             with open(out_dir / bench_cfg.get(
                     "results_file", "benchmark_results.json"), "w") as f:
                 json.dump(results, f, indent=2)

@@ -86,6 +86,11 @@ class DiffusionTrainer:
         self.ema_decay = float(self.training_cfg.get("ema_decay", 0.9999))
         self.log_interval = int(
             (self.config.get("logging", {}) or {}).get("log_interval", 1))
+        # tqdm progress bar on the main process (reference shows tqdm on
+        # rank 0, `ddpm_trainer.py:529-537`); off by default in scripts.
+        self.show_progress = bool(
+            (self.config.get("logging", {}) or {}).get("progress_bar",
+                                                       False))
         self.gradient_logging_freq = int(
             (self.config.get("logging", {}) or {}).get(
                 "gradient_logging_freq", 100))
@@ -188,7 +193,15 @@ class DiffusionTrainer:
                 self.train_loader.set_epoch(epoch)
                 epoch_losses = []
                 t_epoch = time.perf_counter()
-                for batch in self.train_loader:
+                batches = self.train_loader
+                if self.is_main and self.show_progress:
+                    try:
+                        from tqdm import tqdm
+                        batches = tqdm(batches, total=len(batches),
+                                       desc=f"Epoch {epoch}", leave=False)
+                    except ImportError:
+                        pass
+                for batch in batches:
                     step = int(state.step)
                     t0 = time.perf_counter()
                     key = self._step_key(step)

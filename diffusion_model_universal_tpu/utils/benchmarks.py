@@ -218,8 +218,11 @@ class DiffusionBenchmark:
         self.metrics = metrics or {"fid": True, "inception_score": True,
                                    "ssim": True, "psnr": True}
 
-    def evaluate(self, model, params, test_loader: Iterable
-                 ) -> Dict[str, float]:
+    def evaluate(self, model, params, test_loader: Iterable,
+                 sample_dir: str = None) -> Dict[str, float]:
+        """Run the full evaluation; optionally save generated sample grids
+        to ``sample_dir`` (reference ``benchmark.save_samples`` /
+        ``sample_dir`` config keys, `configs/ddpm_config.yaml:76-78`)."""
         real_feats, real_batches = [], []
         for batch in test_loader:
             feats, _ = self.extractor(batch)
@@ -236,6 +239,10 @@ class DiffusionBenchmark:
             bs = min(self.batch_size, remaining)
             key, sub = jax.random.split(key)
             samples = model.generate_samples(params, sub, bs)
+            if sample_dir is not None:
+                from .images import save_image
+                save_image(np.asarray(samples),
+                           f"{sample_dir}/batch_{i:04d}.png")
             feats, logits = self.extractor(samples)
             fake_feats.append(np.asarray(feats))
             fake_logits.append(np.asarray(logits))
