@@ -251,6 +251,51 @@ class DeviceDataLoader:
         self.epoch += 1
 
 
+class PrefetchLoader:
+    """Double-buffered prefetch over any loader.
+
+    A worker thread runs the host-side gather + augmentation dispatch for
+    batch k+1..k+depth while the training step consumes batch k — the
+    thread-based replacement for the reference's DataLoader worker
+    processes (`dataset_utils.py:160-178`, num_workers=4). JAX dispatch is
+    already async; what this hides is the host-side gather and the
+    device_put latency.
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.loader.set_epoch(epoch)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _DONE = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(_DONE)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _DONE:
+                break
+            yield item
+        t.join()
+
+
 def split_indices(n: int, ratios: Dict[str, float],
                   seed: int = 42) -> Dict[str, np.ndarray]:
     """Split [0, n) into train/val/test with a seeded permutation.

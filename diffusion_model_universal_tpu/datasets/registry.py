@@ -235,5 +235,14 @@ def get_dataset(config: Dict, world_size: int = 1, rank: int = 0,
     loader_cfg = block.get("dataloader", {})
     batch_size = config.get("training", {}).get(
         "batch_size", loader_cfg.get("batch_size", 128))
-    return dataset.get_dataloaders(batch_size, world_size=world_size,
-                                   rank=rank)
+    train, val, test = dataset.get_dataloaders(batch_size,
+                                               world_size=world_size,
+                                               rank=rank)
+    # Double-buffered prefetch on the training loader (the num_workers
+    # analogue; see pipeline.PrefetchLoader). Gated by the reference's
+    # num_workers key: 0 disables.
+    if loader_cfg.get("num_workers", config.get("data", {}).get(
+            "num_workers", 2)):
+        from .pipeline import PrefetchLoader
+        train = PrefetchLoader(train)
+    return train, val, test

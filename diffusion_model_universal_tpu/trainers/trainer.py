@@ -173,7 +173,16 @@ class DiffusionTrainer:
 
     # ------------------------------------------------------------------
     def _global_batch(self, batch):
-        """Place a host batch with batch-axis sharding."""
+        """Place a batch with batch-axis sharding.
+
+        Single-process: a plain sharded device_put. Multi-host: each
+        process contributes its local shard of the global batch
+        (`jax.make_array_from_process_local_data` — the DistributedSampler
+        equivalent at array level; the loader already feeds disjoint
+        shards per process)."""
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                self._batch_sharding, np.asarray(batch))
         return jax.device_put(batch, self._batch_sharding)
 
     def _step_key(self, step: int, salt: int = 0):
