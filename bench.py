@@ -39,6 +39,10 @@ def peak_flops_for(device) -> float:
 
 def main() -> None:
     import jax
+
+    from diffusion_model_universal_tpu.utils.cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from diffusion_model_universal_tpu.datasets.sources import make_synthetic

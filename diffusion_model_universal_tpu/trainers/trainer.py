@@ -333,7 +333,16 @@ class DiffusionTrainer:
             "epoch": jnp.asarray(epoch, jnp.int32),
             "best_val_loss": jnp.asarray(self.best_val_loss, jnp.float32),
         }
-        return self.ckpt.save(name, state)
+        path = self.ckpt.save(name, state)
+        # Optional W&B artifact upload (reference `wandb.save`,
+        # `ddpm_trainer.py:892-895`); no-op when wandb is absent.
+        if path and getattr(self.logger, "_wandb", None) is not None:
+            try:
+                import wandb
+                wandb.save(str(path), policy="now")
+            except Exception:
+                pass
+        return path
 
     def load_checkpoint(self, name: Optional[str] = None) -> int:
         """Restore full state; returns the epoch to resume from
