@@ -62,7 +62,8 @@ class DDPM(BaseDiffusionModel):
         self.loss_fn = DiffusionLoss(
             loss_type=cfg.get("loss_type", "mse"),
             loss_config=cfg.get("loss_config", {}),
-            num_timesteps=self.num_timesteps)
+            num_timesteps=self.num_timesteps,
+            alphas_cumprod=self.schedule.alphas_cumprod)
 
     # -- core pure functions ---------------------------------------------
     def init_params(self, rng: Array) -> Params:

@@ -110,9 +110,10 @@ class EnergyBasedDiffusion(BaseDiffusionModel):
         if loss_type == "energy_based":
             self.loss_fn = None  # use the pure CD+GP function
         else:
-            self.loss_fn = DiffusionLoss(loss_type,
-                                         cfg.get("loss_config", {}),
-                                         num_timesteps=self.num_timesteps)
+            self.loss_fn = DiffusionLoss(
+                loss_type, cfg.get("loss_config", {}),
+                num_timesteps=self.num_timesteps,
+                alphas_cumprod=self.schedule.alphas_cumprod)
 
         self.langevin_steps = cfg.get("langevin_steps", 10)
         self.langevin_step_size = cfg.get("langevin_step_size", 0.01)
@@ -162,9 +163,9 @@ class EnergyBasedDiffusion(BaseDiffusionModel):
         if self.loss_fn is None:
             return energy_based_loss(energy_fn, x, x_fake, kg,
                                      self.regularization_weight)
-        # Diffusion-style losses compare real/fake energies
-        # (reference `energy_based.py:205-211`).
-        return self.loss_fn(energy_fn(x), energy_fn(x_fake), t)
+        # Diffusion-style losses compare real/fake energies, weighted
+        # per-sample (reference `energy_based.py:205-211`).
+        return self.loss_fn(energy_fn(x), energy_fn(x_fake), t)  # [B] inputs
 
     # -- sampling ---------------------------------------------------------
     @functools.partial(jax.jit, static_argnames=("self", "batch_size"))

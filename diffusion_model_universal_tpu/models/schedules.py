@@ -57,12 +57,16 @@ def cosine_beta_schedule(num_timesteps: int, s: float = 0.008,
     The reference's energy config declares ``noise_schedule.type`` with
     options linear/cosine/quadratic (`configs/energy_based_config.yaml:18-22`)
     but only ever builds linear; we support all three.
+
+    Built host-side in true float64 (JAX silently downgrades f64 without
+    x64 mode); only the final β table is materialized at ``dtype``.
     """
-    steps = jnp.arange(num_timesteps + 1, dtype=jnp.float64)
-    f = jnp.cos(((steps / num_timesteps) + s) / (1 + s) * jnp.pi / 2) ** 2
+    import numpy as np
+    steps = np.arange(num_timesteps + 1, dtype=np.float64)
+    f = np.cos(((steps / num_timesteps) + s) / (1 + s) * np.pi / 2) ** 2
     alphas_cumprod = f / f[0]
     betas = 1.0 - alphas_cumprod[1:] / alphas_cumprod[:-1]
-    return jnp.clip(betas, 0.0, 0.999).astype(dtype)
+    return jnp.asarray(np.clip(betas, 0.0, 0.999), dtype)
 
 
 def quadratic_beta_schedule(beta_start: float, beta_end: float,

@@ -140,13 +140,11 @@ class ScoreBasedDiffusion(BaseDiffusionModel):
         sigmas = sigma_ladder(self.sigma_min, self.sigma_max, self.num_scales)
         frames = [x]
         keys = jax.random.split(k_loop, self.num_scales)
-        chunk = []
         for start in range(0, self.num_scales, save_interval):
             end = min(start + save_interval, self.num_scales)
             x = self._run_levels(params, x, sigmas[start:end],
                                  keys[start:end], batch_size)
             frames.append(x)
-            chunk.append((start, end))
         return frames
 
     @functools.partial(jax.jit, static_argnames=("self", "batch_size"))

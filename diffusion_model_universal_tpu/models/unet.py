@@ -77,6 +77,7 @@ class UNet(nn.Module):
 
         h = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=nn.initializers.he_normal(),
+                    use_bias=False,  # down0's GroupNorm follows directly
                     name="initial_conv")(x.astype(self.dtype))
 
         DownB = ConvDownBlock

@@ -35,10 +35,6 @@ class DDIMTrainer(DiffusionTrainer):
                 "ddim/eta": self.model.eta,
             }, 0)
 
-    def generate_samples(self, epoch: int, num_samples: int = 4,
-                         use_ema: bool = False) -> Optional[str]:
-        return super().generate_samples(epoch, num_samples, use_ema)
-
 
 class ScoreBasedTrainer(DiffusionTrainer):
     """Score-based: samples via annealed Langevin (`model.sample`), logs

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Tuple
 
-import jax.numpy as jnp
 import optax
 
 
@@ -80,17 +79,3 @@ def make_optimizer(training_cfg: Dict[str, Any], steps_per_epoch: int,
         chain.append(optax.clip_by_global_norm(float(grad_clip)))
     chain.append(optax.adam(schedule, b1=b1, b2=b2))
     return optax.chain(*chain), schedule
-
-
-def ema_decay_schedule(base_decay: float, step: Any,
-                       warmup: bool = True):
-    """EMA decay, optionally warmed up as min(base, (1+t)/(10+t)).
-
-    The reference uses a constant decay applied every step
-    (`ddpm_trainer.py:456-480`); the warmup form is the standard diffusion
-    trick that makes early EMA track the fast-moving params. Disabled
-    (warmup=False) it reduces to the reference behavior.
-    """
-    if not warmup:
-        return base_decay
-    return jnp.minimum(base_decay, (1.0 + step) / (10.0 + step))

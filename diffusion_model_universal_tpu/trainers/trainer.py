@@ -134,8 +134,16 @@ class DiffusionTrainer:
                 lambda e, p: e * d + (1.0 - d) * p, state.ema_params, params)
             new_state = TrainState(params=params, ema_params=ema,
                                    opt_state=opt_state, step=state.step + 1)
+            # All-scalar metrics pytree: computed on-device every step
+            # (negligible next to the UNet), host-synced only at the
+            # logging cadence. Per-layer norms feed the reference's
+            # `_log_model_gradients` equivalent (`ddpm_trainer.py:324-372`).
             metrics = {"loss": loss,
-                       "grad_norm": optax.global_norm(grads)}
+                       "grad_norm": optax.global_norm(grads),
+                       "param_norm": optax.global_norm(params),
+                       "layer_grad_norms": jax.tree_util.tree_map(
+                           lambda g: jnp.sqrt(jnp.sum(
+                               g.astype(jnp.float32) ** 2)), grads)}
             return new_state, metrics
 
         self.train_step = jax.jit(
@@ -170,6 +178,11 @@ class DiffusionTrainer:
                 "num_epochs": self.num_epochs,
                 "param_count": model.param_count(params),
             })
+            if hasattr(model, "schedule"):
+                # β/α/ᾱ summary stats, once at startup (reference
+                # `_log_diffusion_metrics`, `ddpm_trainer.py:437-454`).
+                self.logger.log(
+                    self.logger.diffusion_metrics(model.schedule), 0)
 
     # ------------------------------------------------------------------
     def _global_batch(self, batch):
@@ -189,18 +202,35 @@ class DiffusionTrainer:
         return jax.random.fold_in(
             jax.random.PRNGKey(self.seed + 17 * salt), step)
 
+    def step(self, batch, key=None) -> Dict[str, Any]:
+        """Run ONE training step, owning the donated-state handoff.
+
+        ``train_step`` donates its input state: calling it directly with
+        ``trainer.state`` and dropping the returned state deletes the
+        trainer's buffers. This wrapper is the safe public API — it
+        reassigns ``self.state`` and returns the metrics pytree.
+        """
+        if key is None:
+            key = self._step_key(int(self.state.step))
+        self.state, metrics = self.train_step(
+            self.state, self._global_batch(batch), key)
+        return metrics
+
     # ------------------------------------------------------------------
     def train(self, num_epochs: Optional[int] = None) -> Dict[str, float]:
         """Run the training loop (reference `train`, `ddpm_trainer.py:482-667`)."""
         num_epochs = num_epochs if num_epochs is not None else self.num_epochs
         state = self.state
         history: Dict[str, float] = {}
-        pending_metrics: list = []
+        # Host-side step counter: reading `state.step` back every iteration
+        # would block on the in-flight device step and serialize the
+        # pipeline (the big reference slowdown, `ddpm_trainer.py:529-537`).
+        step = int(state.step)
         try:
             for epoch in range(self.start_epoch,
                                self.start_epoch + num_epochs):
                 self.train_loader.set_epoch(epoch)
-                epoch_losses = []
+                epoch_losses = []  # device scalars; ONE sync at epoch end
                 t_epoch = time.perf_counter()
                 batches = self.train_loader
                 if self.is_main and self.show_progress:
@@ -211,18 +241,20 @@ class DiffusionTrainer:
                     except ImportError:
                         pass
                 for batch in batches:
-                    step = int(state.step)
                     t0 = time.perf_counter()
                     key = self._step_key(step)
                     state, metrics = self.train_step(
                         state, self._global_batch(batch), key)
+                    # Every step's loss enters the epoch mean (reference
+                    # averages all steps, `ddpm_trainer.py:625-641`) — as an
+                    # UNSYNCED device scalar; only the epoch end reads it.
+                    epoch_losses.append(metrics["loss"])
                     # Defer host syncs: only materialize metrics at the
                     # logging cadence (per-step host syncs serialize the
-                    # device pipeline — the big reference slowdown).
+                    # device pipeline).
                     if (step % self.log_interval == 0) and self.is_main:
                         loss = float(metrics["loss"])
                         batch_time = time.perf_counter() - t0
-                        epoch_losses.append(loss)
                         log = {
                             "train/loss": loss,
                             "train/grad_norm": float(metrics["grad_norm"]),
@@ -237,26 +269,35 @@ class DiffusionTrainer:
                             log.update(self.logger.performance_metrics(
                                 batch_time, batch.shape[0]))
                         if step % self.gradient_logging_freq == 0:
+                            # Reference `_log_model_gradients` +
+                            # `_log_optimizer_stats`
+                            # (`ddpm_trainer.py:324-435`).
+                            log.update(self.logger.gradient_metrics(
+                                metrics["layer_grad_norms"],
+                                metrics["grad_norm"],
+                                metrics["param_norm"]))
                             log.update(self.logger.optimizer_metrics(
-                                None, self.lr_schedule(step)))
+                                state.opt_state, self.lr_schedule(step)))
                         self.logger.log(log, step)
 
-                    new_step = step + 1
-                    if self.val_interval and new_step % self.val_interval == 0:
+                    step += 1
+                    if self.val_interval and step % self.val_interval == 0:
                         self.state = state
                         val_loss = self.validate()
-                        self.logger.log({"val/loss": val_loss}, new_step)
+                        self.logger.log({"val/loss": val_loss}, step)
                         if val_loss < self.best_val_loss:
                             self.best_val_loss = val_loss
                             self.save_checkpoint("best_model", epoch)
 
                 self.state = state
-                if epoch_losses and self.is_main:
-                    self.logger.log({
-                        "epoch/train_loss": float(np.mean(epoch_losses)),
-                        "epoch/time": time.perf_counter() - t_epoch,
-                    }, int(state.step))
-                    history["train_loss"] = float(np.mean(epoch_losses))
+                if epoch_losses:
+                    mean_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+                    history["train_loss"] = mean_loss
+                    if self.is_main:
+                        self.logger.log({
+                            "epoch/train_loss": mean_loss,
+                            "epoch/time": time.perf_counter() - t_epoch,
+                        }, step)
 
                 if self.sample_interval and \
                         (epoch + 1) % self.sample_interval == 0:

@@ -1,0 +1,387 @@
+"""Pure-JAX InceptionV3 feature extractor for FID / Inception Score.
+
+The reference computes FID/IS with ImageNet-pretrained torchvision
+InceptionV3 (`/root/reference/utils/benchmarks.py:27-75`). This module is
+the TPU-native equivalent: the full torchvision ``inception_v3``
+architecture re-implemented as pure JAX functions over a parameter pytree,
+so feature extraction runs jitted on TPU (the torch path in the reference
+is CPU/GPU-bound and can't batch onto the chip).
+
+Weights (this environment has zero network egress, so they must be
+provisioned offline):
+
+1. Drop torchvision's ``inception_v3_google-*.pth`` state_dict anywhere
+   and run ``python scripts/convert_inception.py <pth> <npz>`` (torch is
+   only needed for the conversion, not at benchmark time), or produce the
+   ``.npz`` elsewhere and copy it in.
+2. Point ``DMU_INCEPTION_WEIGHTS=/path/to/inception_v3.npz`` (or pass
+   ``weights_path=``). ``utils.benchmarks.make_extractor(use_inception=True)``
+   then computes literature-comparable FID/IS.
+
+Without weights, callers fall back to the seeded random extractor
+(ordering-only scores; see `utils/benchmarks.py`).
+
+Architecture matches torchvision ``inception_v3`` (aux head excluded —
+it contributes nothing to features/logits at eval): returns 2048-d
+pre-fc pooled features (the FID standard "pool3") and 1000-way logits
+(Inception Score, on logits per defect D10's fix).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+Params = Dict[str, Any]
+
+# (name, out_channels, kernel, stride, padding) of the stem convs.
+_STEM = [
+    ("Conv2d_1a_3x3", 32, (3, 3), 2, (0, 0)),
+    ("Conv2d_2a_3x3", 32, (3, 3), 1, (0, 0)),
+    ("Conv2d_2b_3x3", 64, (3, 3), 1, (1, 1)),
+    ("pool1", None, None, None, None),
+    ("Conv2d_3b_1x1", 80, (1, 1), 1, (0, 0)),
+    ("Conv2d_4a_3x3", 192, (3, 3), 1, (0, 0)),
+    ("pool2", None, None, None, None),
+]
+
+
+# --------------------------------------------------------------------------
+# Primitives
+# --------------------------------------------------------------------------
+
+def _conv_bn(params: Params, x: Array, stride=1, padding=(0, 0)) -> Array:
+    """BasicConv2d: conv (no bias) → BatchNorm(eval, eps=1e-3) → ReLU."""
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    pad = [(padding[0], padding[0]), (padding[1], padding[1])]
+    y = jax.lax.conv_general_dilated(
+        x, params["w"], (stride, stride) if isinstance(stride, int)
+        else stride, pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    scale = params["bn_w"] * jax.lax.rsqrt(params["bn_var"] + 1e-3)
+    y = y * scale + (params["bn_b"] - params["bn_mean"] * scale)
+    return jax.nn.relu(y)
+
+
+def _maxpool(x: Array, k=3, s=2) -> Array:
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, k, k, 1), (1, s, s, 1), "VALID")
+
+
+def _avgpool3(x: Array) -> Array:
+    """3×3 stride-1 avg pool, pad 1, count_include_pad=True (torch)."""
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 3, 3, 1),
+                              (1, 1, 1, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
+    return s / 9.0
+
+
+# --------------------------------------------------------------------------
+# Inception blocks (torchvision InceptionA..E)
+# --------------------------------------------------------------------------
+
+def _block_a(p: Params, x: Array) -> Array:
+    b1 = _conv_bn(p["branch1x1"], x)
+    b5 = _conv_bn(p["branch5x5_1"], x)
+    b5 = _conv_bn(p["branch5x5_2"], b5, padding=2)
+    bd = _conv_bn(p["branch3x3dbl_1"], x)
+    bd = _conv_bn(p["branch3x3dbl_2"], bd, padding=1)
+    bd = _conv_bn(p["branch3x3dbl_3"], bd, padding=1)
+    bp = _conv_bn(p["branch_pool"], _avgpool3(x))
+    return jnp.concatenate([b1, b5, bd, bp], axis=-1)
+
+
+def _block_b(p: Params, x: Array) -> Array:
+    b3 = _conv_bn(p["branch3x3"], x, stride=2)
+    bd = _conv_bn(p["branch3x3dbl_1"], x)
+    bd = _conv_bn(p["branch3x3dbl_2"], bd, padding=1)
+    bd = _conv_bn(p["branch3x3dbl_3"], bd, stride=2)
+    return jnp.concatenate([b3, bd, _maxpool(x)], axis=-1)
+
+
+def _block_c(p: Params, x: Array) -> Array:
+    b1 = _conv_bn(p["branch1x1"], x)
+    b7 = _conv_bn(p["branch7x7_1"], x)
+    b7 = _conv_bn(p["branch7x7_2"], b7, padding=(0, 3))
+    b7 = _conv_bn(p["branch7x7_3"], b7, padding=(3, 0))
+    bd = _conv_bn(p["branch7x7dbl_1"], x)
+    bd = _conv_bn(p["branch7x7dbl_2"], bd, padding=(3, 0))
+    bd = _conv_bn(p["branch7x7dbl_3"], bd, padding=(0, 3))
+    bd = _conv_bn(p["branch7x7dbl_4"], bd, padding=(3, 0))
+    bd = _conv_bn(p["branch7x7dbl_5"], bd, padding=(0, 3))
+    bp = _conv_bn(p["branch_pool"], _avgpool3(x))
+    return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+def _block_d(p: Params, x: Array) -> Array:
+    b3 = _conv_bn(p["branch3x3_1"], x)
+    b3 = _conv_bn(p["branch3x3_2"], b3, stride=2)
+    b7 = _conv_bn(p["branch7x7x3_1"], x)
+    b7 = _conv_bn(p["branch7x7x3_2"], b7, padding=(0, 3))
+    b7 = _conv_bn(p["branch7x7x3_3"], b7, padding=(3, 0))
+    b7 = _conv_bn(p["branch7x7x3_4"], b7, stride=2)
+    return jnp.concatenate([b3, b7, _maxpool(x)], axis=-1)
+
+
+def _block_e(p: Params, x: Array) -> Array:
+    b1 = _conv_bn(p["branch1x1"], x)
+    b3 = _conv_bn(p["branch3x3_1"], x)
+    b3 = jnp.concatenate([
+        _conv_bn(p["branch3x3_2a"], b3, padding=(0, 1)),
+        _conv_bn(p["branch3x3_2b"], b3, padding=(1, 0))], axis=-1)
+    bd = _conv_bn(p["branch3x3dbl_1"], x)
+    bd = _conv_bn(p["branch3x3dbl_2"], bd, padding=1)
+    bd = jnp.concatenate([
+        _conv_bn(p["branch3x3dbl_3a"], bd, padding=(0, 1)),
+        _conv_bn(p["branch3x3dbl_3b"], bd, padding=(1, 0))], axis=-1)
+    bp = _conv_bn(p["branch_pool"], _avgpool3(x))
+    return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+_MIXED = [
+    ("Mixed_5b", _block_a), ("Mixed_5c", _block_a), ("Mixed_5d", _block_a),
+    ("Mixed_6a", _block_b),
+    ("Mixed_6b", _block_c), ("Mixed_6c", _block_c), ("Mixed_6d", _block_c),
+    ("Mixed_6e", _block_c),
+    ("Mixed_7a", _block_d),
+    ("Mixed_7b", _block_e), ("Mixed_7c", _block_e),
+]
+
+
+def inception_forward(params: Params, x: Array) -> Tuple[Array, Array]:
+    """Images [B, 299, 299, 3] (ImageNet-normalized) → (pool feats [B,2048],
+    logits [B,1000])."""
+    h = x
+    for name, _, _, stride, padding in _STEM:
+        if name.startswith("pool"):
+            h = _maxpool(h)
+        else:
+            h = _conv_bn(params[name], h, stride=stride, padding=padding)
+    for name, block in _MIXED:
+        h = block(params[name], h)
+    feats = jnp.mean(h, axis=(1, 2))  # adaptive avg pool → [B, 2048]
+    logits = feats @ params["fc"]["w"] + params["fc"]["b"]
+    return feats, logits
+
+
+# --------------------------------------------------------------------------
+# Parameter tree construction
+# --------------------------------------------------------------------------
+
+def _branch_specs(block: str, cin: int):
+    """(branch_name, cout, (kh, kw), cin_override) per BasicConv2d."""
+    if block == "a":  # pool_features passed via cin tuple
+        cin, pool_features = cin
+        return [
+            ("branch1x1", 64, (1, 1), cin),
+            ("branch5x5_1", 48, (1, 1), cin),
+            ("branch5x5_2", 64, (5, 5), 48),
+            ("branch3x3dbl_1", 64, (1, 1), cin),
+            ("branch3x3dbl_2", 96, (3, 3), 64),
+            ("branch3x3dbl_3", 96, (3, 3), 96),
+            ("branch_pool", pool_features, (1, 1), cin),
+        ]
+    if block == "b":
+        return [
+            ("branch3x3", 384, (3, 3), cin),
+            ("branch3x3dbl_1", 64, (1, 1), cin),
+            ("branch3x3dbl_2", 96, (3, 3), 64),
+            ("branch3x3dbl_3", 96, (3, 3), 96),
+        ]
+    if block == "c":
+        cin, c7 = cin
+        return [
+            ("branch1x1", 192, (1, 1), cin),
+            ("branch7x7_1", c7, (1, 1), cin),
+            ("branch7x7_2", c7, (1, 7), c7),
+            ("branch7x7_3", 192, (7, 1), c7),
+            ("branch7x7dbl_1", c7, (1, 1), cin),
+            ("branch7x7dbl_2", c7, (7, 1), c7),
+            ("branch7x7dbl_3", c7, (1, 7), c7),
+            ("branch7x7dbl_4", c7, (7, 1), c7),
+            ("branch7x7dbl_5", 192, (1, 7), c7),
+            ("branch_pool", 192, (1, 1), cin),
+        ]
+    if block == "d":
+        return [
+            ("branch3x3_1", 192, (1, 1), cin),
+            ("branch3x3_2", 320, (3, 3), 192),
+            ("branch7x7x3_1", 192, (1, 1), cin),
+            ("branch7x7x3_2", 192, (1, 7), 192),
+            ("branch7x7x3_3", 192, (7, 1), 192),
+            ("branch7x7x3_4", 192, (3, 3), 192),
+        ]
+    if block == "e":
+        return [
+            ("branch1x1", 320, (1, 1), cin),
+            ("branch3x3_1", 384, (1, 1), cin),
+            ("branch3x3_2a", 384, (1, 3), 384),
+            ("branch3x3_2b", 384, (3, 1), 384),
+            ("branch3x3dbl_1", 448, (1, 1), cin),
+            ("branch3x3dbl_2", 384, (3, 3), 448),
+            ("branch3x3dbl_3a", 384, (1, 3), 384),
+            ("branch3x3dbl_3b", 384, (3, 1), 384),
+            ("branch_pool", 192, (1, 1), cin),
+        ]
+    raise ValueError(block)
+
+
+# torchvision block layout: (module_name, block_kind, cin_spec)
+_LAYOUT = [
+    ("Mixed_5b", "a", (192, 32)),
+    ("Mixed_5c", "a", (256, 64)),
+    ("Mixed_5d", "a", (288, 64)),
+    ("Mixed_6a", "b", 288),
+    ("Mixed_6b", "c", (768, 128)),
+    ("Mixed_6c", "c", (768, 160)),
+    ("Mixed_6d", "c", (768, 160)),
+    ("Mixed_6e", "c", (768, 192)),
+    ("Mixed_7a", "d", 768),
+    ("Mixed_7b", "e", 1280),
+    ("Mixed_7c", "e", 2048),
+]
+
+
+def init_inception_params(key: Array, dtype=jnp.float32) -> Params:
+    """Random-init parameter tree with EXACT torchvision shapes (used for
+    tests and as the conversion target structure)."""
+    counter = [0]
+
+    def conv(cout, kh, kw, cin):
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
+        fan_in = kh * kw * cin
+        return {
+            "w": (jax.random.normal(k, (kh, kw, cin, cout), dtype)
+                  * (2.0 / fan_in) ** 0.5),
+            "bn_w": jnp.ones((cout,), dtype),
+            "bn_b": jnp.zeros((cout,), dtype),
+            "bn_mean": jnp.zeros((cout,), dtype),
+            "bn_var": jnp.ones((cout,), dtype),
+        }
+
+    params: Params = {}
+    cin = 3
+    for name, cout, kern, _, _ in _STEM:
+        if name.startswith("pool"):
+            continue
+        params[name] = conv(cout, kern[0], kern[1], cin)
+        cin = cout
+    for name, kind, cin_spec in _LAYOUT:
+        params[name] = {
+            bname: conv(cout, kh, kw, bcin)
+            for bname, cout, (kh, kw), bcin in _branch_specs(kind, cin_spec)}
+    counter[0] += 1
+    kfc = jax.random.fold_in(key, counter[0])
+    params["fc"] = {
+        "w": jax.random.normal(kfc, (2048, 1000), dtype) * 2048 ** -0.5,
+        "b": jnp.zeros((1000,), dtype),
+    }
+    return params
+
+
+# --------------------------------------------------------------------------
+# Weight conversion / loading
+# --------------------------------------------------------------------------
+
+def convert_torch_state_dict(state_dict: Dict[str, np.ndarray]) -> Params:
+    """Map a torchvision ``inception_v3`` state_dict (tensors or numpy
+    arrays, NCHW/OIHW) onto the :func:`inception_forward` pytree (HWIO)."""
+
+    def arr(v):
+        return np.asarray(getattr(v, "numpy", lambda: v)())
+
+    def conv(prefix):
+        return {
+            "w": arr(state_dict[f"{prefix}.conv.weight"]).transpose(
+                2, 3, 1, 0),
+            "bn_w": arr(state_dict[f"{prefix}.bn.weight"]),
+            "bn_b": arr(state_dict[f"{prefix}.bn.bias"]),
+            "bn_mean": arr(state_dict[f"{prefix}.bn.running_mean"]),
+            "bn_var": arr(state_dict[f"{prefix}.bn.running_var"]),
+        }
+
+    params: Params = {}
+    for name, _, _, _, _ in _STEM:
+        if not name.startswith("pool"):
+            params[name] = conv(name)
+    for name, kind, cin_spec in _LAYOUT:
+        params[name] = {
+            bname: conv(f"{name}.{bname}")
+            for bname, _, _, _ in _branch_specs(kind, cin_spec)}
+    params["fc"] = {
+        "w": arr(state_dict["fc.weight"]).T,
+        "b": arr(state_dict["fc.bias"]),
+    }
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def load_inception_params(path: str) -> Params:
+    """Load converted weights from ``.npz`` (flat ``a/b/c`` keys) or a
+    torch ``.pth`` state_dict (requires torch at load time only)."""
+    if path.endswith(".npz"):
+        flat = np.load(path)
+        params: Params = {}
+        for key in flat.files:
+            node = params
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(flat[key])
+        return params
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_torch_state_dict(sd)
+
+
+def save_inception_npz(params: Params, path: str) -> None:
+    flat = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, f"{prefix}{k}/")
+            else:
+                flat[f"{prefix}{k}"] = np.asarray(v)
+
+    walk(params, "")
+    np.savez(path, **flat)
+
+
+# --------------------------------------------------------------------------
+# Extractor front-end (preprocessing parity with the reference)
+# --------------------------------------------------------------------------
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class InceptionExtractor:
+    """[-1, 1] NHWC images → (2048-d pool features, 1000-way logits),
+    fully jitted. Preprocessing matches the reference's torchvision
+    pipeline (`/root/reference/utils/benchmarks.py:47-60`): rescale to
+    [0, 1], resize to 299², ImageNet-normalize."""
+
+    def __init__(self, params: Optional[Params] = None,
+                 weights_path: Optional[str] = None):
+        if params is None:
+            if weights_path is None:
+                raise ValueError("need params or weights_path")
+            params = load_inception_params(weights_path)
+        self.params = params
+        self._fn = jax.jit(functools.partial(self._impl))
+
+    def _impl(self, params, x):
+        if x.shape[-1] == 1:
+            x = jnp.repeat(x, 3, axis=-1)
+        x = (x + 1.0) / 2.0
+        x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
+        x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+        return inception_forward(params, x)
+
+    def __call__(self, images: Array) -> Tuple[Array, Array]:
+        return self._fn(self.params, jnp.asarray(images, jnp.float32))

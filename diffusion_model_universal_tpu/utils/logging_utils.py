@@ -126,30 +126,34 @@ class MetricLogger:
             pass
 
     # -- derived metric helpers ------------------------------------------
-    def gradient_metrics(self, grads: Any, params: Any) -> Dict[str, Any]:
+    def gradient_metrics(self, layer_grad_norms: Any, global_grad_norm: Any,
+                         global_param_norm: Any) -> Dict[str, Any]:
         """Global + per-layer grad/weight norms
-        (reference `_log_model_gradients`, `ddpm_trainer.py:324-372`)."""
-        out: Dict[str, Any] = {}
-        g_leaves = jax.tree_util.tree_leaves_with_path(grads)
-        p_leaves = jax.tree_util.tree_leaves(params)
-        g_sq = 0.0
-        p_sq = 0.0
-        per_layer = self.log_cfg.get("track_per_layer_metrics", False)
-        for (path, g), p in zip(g_leaves, p_leaves):
-            gn = float(jnp.sum(g.astype(jnp.float32) ** 2))
-            pn = float(jnp.sum(p.astype(jnp.float32) ** 2))
-            g_sq += gn
-            p_sq += pn
-            if per_layer:
+        (reference `_log_model_gradients`, `ddpm_trainer.py:324-372`).
+
+        The norms are computed INSIDE the jitted train step (a pytree of
+        scalars in the metrics output) so the host never pulls gradient
+        tensors; this just flattens the tree into named metrics.
+        """
+        out: Dict[str, Any] = {
+            "gradients/global_norm": float(global_grad_norm),
+            "weights/global_norm": float(global_param_norm),
+        }
+        if (self.log_cfg.get("track_per_layer_metrics", False)
+                and layer_grad_norms is not None):
+            for path, v in jax.tree_util.tree_leaves_with_path(
+                    layer_grad_norms):
                 name = "/".join(str(getattr(k, "key", k)) for k in path)
-                out[f"gradients/{name}_norm"] = gn ** 0.5
-        out["gradients/global_norm"] = g_sq ** 0.5
-        out["weights/global_norm"] = p_sq ** 0.5
+                out[f"gradients/{name}_norm"] = float(v)
         return out
 
     def optimizer_metrics(self, opt_state: Any, lr: float) -> Dict[str, Any]:
         """Adam moment averages + LR (reference `_log_optimizer_stats`,
-        `ddpm_trainer.py:404-435`)."""
+        `ddpm_trainer.py:404-435`).
+
+        Per-leaf reductions execute on-device; only scalars cross to the
+        host (no concatenation of full moment tensors).
+        """
         out = {"optimizer/learning_rate": float(lr)}
         try:
             import optax
@@ -157,12 +161,13 @@ class MetricLogger:
                     opt_state, is_leaf=lambda x: isinstance(
                         x, optax.ScaleByAdamState)):
                 if isinstance(s, optax.ScaleByAdamState):
-                    mu = jnp.concatenate([jnp.ravel(m) for m in
-                                          jax.tree_util.tree_leaves(s.mu)])
-                    nu = jnp.concatenate([jnp.ravel(n) for n in
-                                          jax.tree_util.tree_leaves(s.nu)])
-                    out["optimizer/exp_avg_mean"] = float(jnp.mean(mu))
-                    out["optimizer/exp_avg_sq_mean"] = float(jnp.mean(nu))
+                    def _mean(tree):
+                        leaves = jax.tree_util.tree_leaves(tree)
+                        total = sum(float(jnp.sum(l)) for l in leaves)
+                        count = sum(l.size for l in leaves)
+                        return total / max(count, 1)
+                    out["optimizer/exp_avg_mean"] = _mean(s.mu)
+                    out["optimizer/exp_avg_sq_mean"] = _mean(s.nu)
                     break
         except Exception:
             pass

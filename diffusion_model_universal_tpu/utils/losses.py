@@ -42,16 +42,21 @@ def huber(pred: Array, target: Array, delta: float = 1.0) -> Array:
     return jnp.where(d < delta, 0.5 * d ** 2 / delta, d - 0.5 * delta)
 
 
-def _snr_weights(t: Array, num_timesteps: int, beta_start: float = 1e-4,
-                 beta_end: float = 2e-2) -> Array:
+def _snr_weights(t: Array, num_timesteps: int,
+                 alphas_cumprod: Optional[Array] = None,
+                 beta_start: float = 1e-4, beta_end: float = 2e-2) -> Array:
     """SNR-based per-sample loss weights (reference `utils/losses.py:144-164`).
 
-    Builds the linear β schedule of static length ``num_timesteps``, computes
-    SNR_t = ᾱ_t/(1-ᾱ_t), normalizes by the schedule max (= SNR at t=0), and
-    clamps ≥ 1e-5.
+    Computes SNR_t = ᾱ_t/(1-ᾱ_t) from the model's ACTUAL cumulative-ᾱ
+    schedule when given (the reference hardcodes a linear β(1e-4, 2e-2)
+    rebuild regardless of the configured schedule — wrong under
+    cosine/quadratic), normalizes by the schedule max (= SNR at t=0), and
+    clamps ≥ 1e-5. Falls back to the linear rebuild when no schedule is
+    provided.
     """
-    betas = jnp.linspace(beta_start, beta_end, num_timesteps)
-    alphas_cumprod = jnp.cumprod(1.0 - betas)
+    if alphas_cumprod is None:
+        betas = jnp.linspace(beta_start, beta_end, num_timesteps)
+        alphas_cumprod = jnp.cumprod(1.0 - betas)
     snr = alphas_cumprod / (1.0 - alphas_cumprod)
     weights = jnp.take(snr, t) / jnp.max(snr)
     return jnp.clip(weights, 1e-5, None)
@@ -69,13 +74,17 @@ class DiffusionLoss:
         loss_config: same keys as the reference YAML ``loss_config`` block
             (`configs/ddpm_config.yaml:15-42`).
         num_timesteps: static diffusion horizon used for SNR weighting.
+        alphas_cumprod: the model's actual ᾱ schedule ([T]); when given,
+            SNR weights are derived from it instead of a hardcoded linear
+            β rebuild.
     """
 
     LOSS_TYPES = ("mse", "l1", "huber", "hybrid")
 
     def __init__(self, loss_type: str = "mse",
                  loss_config: Optional[Dict] = None,
-                 num_timesteps: int = 1000):
+                 num_timesteps: int = 1000,
+                 alphas_cumprod: Optional[Array] = None):
         self.loss_type = loss_type.lower()
         cfg = loss_config or {}
         if self.loss_type not in self.LOSS_TYPES:
@@ -106,6 +115,7 @@ class DiffusionLoss:
         self.min_weight = twp.get("min_weight", 0.1)
         self.max_weight = twp.get("max_weight", 1.0)
         self.num_timesteps = num_timesteps
+        self.alphas_cumprod = alphas_cumprod
 
         self.perceptual_weight = cfg.get("perceptual_weight", 0.0)
         self._perceptual: Optional[Callable] = None
@@ -136,7 +146,7 @@ class DiffusionLoss:
         (reference `utils/losses.py:133-181`), shaped [B, 1, 1, 1]."""
         tf = t.astype(jnp.float32)
         if self.time_weight_type == "snr":
-            w = _snr_weights(t, self.num_timesteps)
+            w = _snr_weights(t, self.num_timesteps, self.alphas_cumprod)
         elif self.time_weight_type == "linear":
             w = 1.0 - tf / float(self.num_timesteps - 1)
         elif self.time_weight_type == "inverse":
@@ -152,7 +162,12 @@ class DiffusionLoss:
                  timesteps: Optional[Array] = None) -> Array:
         loss = self._base_loss(pred, target)
         if self.use_time_weighting and timesteps is not None:
-            loss = loss * self.time_weights(timesteps)
+            # Reshape [B,1,1,1] weights to the loss rank so rank-1 inputs
+            # (e.g. per-sample energies) weight per-sample instead of
+            # broadcasting [B]×[B,1,1,1] → [B,1,1,B].
+            w = self.time_weights(timesteps)
+            w = w.reshape(w.shape[:1] + (1,) * (loss.ndim - 1))
+            loss = loss * w
         if self._perceptual is not None:
             loss = loss + self.perceptual_weight * self._perceptual(pred, target)
         return jnp.mean(loss)

@@ -102,8 +102,9 @@ def test_dp_train_step_matches_single_device(tmp_path, monkeypatch):
                       mesh=M.make_mesh(jax.devices()[:1]))
 
     key = tr8._step_key(0)
-    s8, m8 = tr8.train_step(tr8.state, tr8._global_batch(batch), key)
-    s1, m1 = tr1.train_step(tr1.state, tr1._global_batch(batch), key)
+    m8 = tr8.step(batch, key)
+    m1 = tr1.step(batch, key)
+    s8, s1 = tr8.state, tr1.state
 
     np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
                                rtol=1e-5)
@@ -131,8 +132,8 @@ def test_fsdp_mesh_train_step_runs(tmp_path):
     trr = DDPMTrainer(model, loader, loader, loader, cfg,
                       mesh=M.make_mesh(jax.devices()[:1]))
     key = tr._step_key(0)
-    s, m = tr.train_step(tr.state, tr._global_batch(batch), key)
-    sr, mr = trr.train_step(trr.state, trr._global_batch(batch), key)
+    m = tr.step(batch, key)
+    mr = trr.step(batch, key)
     assert np.isfinite(float(m["loss"]))
     np.testing.assert_allclose(float(m["loss"]), float(mr["loss"]),
                                rtol=1e-4)
