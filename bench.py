@@ -1,29 +1,41 @@
-"""Benchmark: DDPM CIFAR-10-config training throughput on one TPU chip.
+"""Benchmarks: DDPM training throughput + sampler wall-clock on one chip.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+Prints one JSON line per metric; the LAST line is the headline metric
+(training throughput) that the driver records:
 
-The headline metric from BASELINE.json is DDPM CIFAR-10 train images/sec/
-chip with a ≥90%-of-v5e-roofline target. The reference publishes no
-numbers (BASELINE.md), so ``vs_baseline`` reports measured / roofline where
-the roofline is computed from the ACTUAL compiled step's FLOP count
-(XLA cost analysis) against the chip's peak bf16 throughput — i.e.
-vs_baseline == MFU of the training step; 0.9 meets the stated target.
+    {"metric": "DDPM 1000-step sampler ...", ...}
+    {"metric": "DDIM 50-step sampler ...", ...}
+    {"metric": "DDPM CIFAR-10 train throughput ...", "vs_baseline": MFU}
 
-Data is synthetic 32×32×3 (identical compute to CIFAR-10; no dataset
-download is possible in this zero-egress environment).
+``vs_baseline`` semantics: the reference publishes no numbers
+(BASELINE.md), so for every metric ``vs_baseline`` reports
+measured / roofline where the roofline comes from the ACTUAL compiled
+program's FLOP count (XLA cost analysis) against peak bf16 TFLOP/s —
+i.e. the metric's MFU. 0.9 meets BASELINE.json's stated target for
+training; the samplers are the BASELINE metric-2 programs (the
+reference's 1000 sequential UNet calls, `models/ddpm.py:251-253`,
+run here as ONE on-device lax.scan).
+
+Training uses the trainer's scan path (``train_step_scan``): K steps per
+dispatch, amortizing the host→device round trip — the same path real
+training uses with ``training.scan_steps``.
+
+Data is synthetic (identical compute to CIFAR-10; zero-egress env).
+Set DMU_BENCH_SAMPLER=0 to skip the sampler section.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 
-# Peak dense bf16 TFLOP/s per chip (used for the roofline denominator).
+# Peak dense bf16 TFLOP/s per chip (roofline denominator).
 PEAK_TFLOPS = {
     "TPU v5 lite": 197.0,   # v5e
     "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
     "TPU v4": 275.0,
     "TPU v6 lite": 918.0,   # v6e
 }
@@ -37,21 +49,67 @@ def peak_flops_for(device) -> float:
     return 197.0e12  # assume v5e
 
 
-def main() -> None:
+def _flops_of(jitted, *args) -> float:
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_sampler(peak: float) -> None:
     import jax
 
-    from diffusion_model_universal_tpu.utils.cache import \
-        enable_compilation_cache
-    enable_compilation_cache()
+    from diffusion_model_universal_tpu.models import DDIM, DDPM
+
+    batch = 64
+    cfg = {"num_timesteps": 1000, "image_size": 64, "in_channels": 3,
+           "model_channels": 128, "remat": False}
+    key = jax.random.PRNGKey(0)
+
+    for name, model, steps in (
+            ("DDPM 1000-step sampler (64x64, B=64)", DDPM(cfg), 1000),
+            ("DDIM 50-step sampler (64x64, B=64)",
+             DDIM({**cfg, "ddim_sampling_steps": 50}), 50)):
+        params = model.init_params(key)
+        fn = lambda p, k: model.generate_samples(p, k, batch)
+        out = fn(params, key)
+        jax.block_until_ready(out)          # compile
+        n = 3 if steps <= 50 else 1
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = fn(params, jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n
+        # Roofline: XLA cost analysis counts a lax.scan body ONCE, so use
+        # one UNet apply × the number of sampler steps.
+        import jax.numpy as jnp
+        xs = jnp.zeros((batch, 64, 64, 3), jnp.float32)
+        ts = jnp.zeros((batch,), jnp.int32)
+        flops = _flops_of(jax.jit(model.apply), params, xs, ts) * steps
+        mfu = flops / dt / peak if flops else 0.0
+        print(json.dumps({
+            "metric": name,
+            "value": round(dt, 3),
+            "unit": "seconds",
+            "vs_baseline": round(mfu, 4),
+        }), flush=True)
+
+
+def bench_training(peak: float) -> None:
+    import jax
     import jax.numpy as jnp
 
+    from diffusion_model_universal_tpu.datasets.pipeline import (
+        DeviceDataLoader, make_augment_fn)
     from diffusion_model_universal_tpu.datasets.sources import make_synthetic
     from diffusion_model_universal_tpu.models import DDPM
     from diffusion_model_universal_tpu.trainers import DDPMTrainer
-    from diffusion_model_universal_tpu.datasets.pipeline import (
-        DeviceDataLoader, make_augment_fn)
 
     batch_size = 256
+    scan_k = 10
     model = DDPM({
         "num_timesteps": 1000, "image_size": 32, "in_channels": 3,
         "model_channels": 128, "remat": False,
@@ -60,7 +118,7 @@ def main() -> None:
     cfg = {
         "model_name": "DDPM-bench",
         "training": {"num_epochs": 1, "batch_size": batch_size,
-                     "learning_rate": 2e-4,
+                     "learning_rate": 2e-4, "scan_steps": scan_k,
                      "scheduler": {"type": "cosine"},
                      "val_interval": 0, "sample_interval": 0,
                      "checkpoint_interval": 0, "ema_decay": 0.9999},
@@ -68,55 +126,63 @@ def main() -> None:
                     "log_interval": 1000000},
         "output": {"output_dir": "/tmp/dmu_tpu_bench"},
     }
-    imgs = make_synthetic(num_samples=batch_size * 4, image_size=32)
+    imgs = make_synthetic(num_samples=batch_size * scan_k, image_size=32)
     aug = make_augment_fn([{"name": "normalize"}], [0.5] * 3, [0.5] * 3,
                           train=True)
     loader = DeviceDataLoader(imgs, batch_size=batch_size, augment=aug)
     trainer = DDPMTrainer(model, loader, loader, loader, cfg)
 
-    batch = trainer._global_batch(next(iter(loader)))
+    chunk = [b for b in loader][:scan_k]
     state = trainer.state
 
-    # FLOPs of the compiled step, for the roofline denominator.
-    step_flops = None
-    try:
-        lowered = trainer.train_step.lower(state, batch,
-                                           trainer._step_key(0))
-        cost = lowered.compile().cost_analysis()
-        if cost:
-            c = cost[0] if isinstance(cost, (list, tuple)) else cost
-            step_flops = float(c.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    # FLOPs of ONE compiled train step for the roofline denominator
+    # (XLA cost analysis counts a lax.scan body once, so the K-step scan
+    # program reports 1/K of its real FLOPs; the single-step program is
+    # the honest per-step count).
+    step_flops = _flops_of(trainer.train_step, state, chunk[0],
+                           trainer._step_key(0))
 
     # Warmup (compile) then steady-state timing.
-    for i in range(3):
-        state, metrics = trainer.train_step(state, batch,
-                                            trainer._step_key(i))
-    jax.block_until_ready(metrics["loss"])
+    for i in range(2):
+        state, losses = trainer._scan_chunk(state, chunk, i * scan_k)
+    jax.block_until_ready(losses)
 
-    n_steps = 30
+    n_chunks = 5
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = trainer.train_step(state, batch,
-                                            trainer._step_key(i + 3))
-    jax.block_until_ready(metrics["loss"])
+    for i in range(n_chunks):
+        state, losses = trainer._scan_chunk(state, chunk,
+                                            (i + 2) * scan_k)
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 
+    n_steps = n_chunks * scan_k
     images_per_sec = batch_size * n_steps / dt
     vs_baseline = 0.0
     if step_flops:
-        peak = peak_flops_for(jax.devices()[0])
         roofline_img_s = peak / (step_flops / batch_size)
         vs_baseline = images_per_sec / roofline_img_s
 
     print(json.dumps({
-        "metric": "DDPM CIFAR-10 train throughput (C=128 UNet, bf16, B=256)",
+        "metric": "DDPM CIFAR-10 train throughput "
+                  "(C=128 UNet, bf16, B=256, 10-step scan)",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
-    }))
+    }), flush=True)
     trainer.cleanup()
+
+
+def main() -> None:
+    import jax
+
+    from diffusion_model_universal_tpu.utils.cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
+    peak = peak_flops_for(jax.devices()[0])
+
+    if os.environ.get("DMU_BENCH_SAMPLER", "1") != "0":
+        bench_sampler(peak)
+    bench_training(peak)  # headline metric LAST
 
 
 if __name__ == "__main__":

@@ -151,6 +151,28 @@ class DiffusionTrainer:
             in_shardings=(self._state_sharding, self._batch_sharding, None),
             out_shardings=(self._state_sharding, None))
 
+        # Multi-step variant: K steps in ONE dispatch via lax.scan.
+        # Python-loop dispatch pays a host->device round trip per step
+        # (milliseconds under a remote/tunneled runtime); scanning K steps
+        # on-device amortizes it to 1/K. Per-step losses come back as a
+        # [K] array; the full metrics pytree is returned for the LAST step
+        # only (grad norms etc. are logging-cadence data anyway).
+        def train_step_scan(state: TrainState, batches, keys):
+            def body(s, xs):
+                b, k = xs
+                s2, m = train_step(s, b, k)
+                return s2, m["loss"]
+            state, losses = jax.lax.scan(body, state, (batches, keys))
+            return state, losses
+
+        scan_batch_sharding = NamedSharding(
+            self.mesh, P(None, *self._batch_sharding.spec))
+        self.train_step_scan = jax.jit(
+            train_step_scan, donate_argnums=(0,),
+            in_shardings=(self._state_sharding, scan_batch_sharding, None),
+            out_shardings=(self._state_sharding, None))
+        self.scan_steps = int(self.training_cfg.get("scan_steps", 1))
+
         def eval_step(params, batch, key):
             return model.loss_function(params, batch, key)
 
@@ -216,6 +238,23 @@ class DiffusionTrainer:
             self.state, self._global_batch(batch), key)
         return metrics
 
+    def _scan_chunk(self, state, chunk, step: int):
+        """Dispatch ``len(chunk)`` steps as ONE on-device lax.scan.
+
+        Returns (new_state, per-step losses [K]). Used when
+        ``training.scan_steps`` > 1 to amortize the per-dispatch
+        host→device round trip (milliseconds under a tunneled runtime)
+        across K steps."""
+        k = len(chunk)
+        keys = jnp.stack([self._step_key(step + i) for i in range(k)])
+        stacked = jnp.stack([jnp.asarray(b) for b in chunk])
+        if jax.process_count() > 1:
+            stacked = jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh,
+                              P(None, *self._batch_sharding.spec)),
+                np.asarray(stacked))
+        return self.train_step_scan(state, stacked, keys)
+
     # ------------------------------------------------------------------
     def train(self, num_epochs: Optional[int] = None) -> Dict[str, float]:
         """Run the training loop (reference `train`, `ddpm_trainer.py:482-667`)."""
@@ -240,6 +279,44 @@ class DiffusionTrainer:
                                        desc=f"Epoch {epoch}", leave=False)
                     except ImportError:
                         pass
+                if self.scan_steps > 1:
+                    # K-steps-per-dispatch path: logging/validation at
+                    # chunk granularity (grad-norm metrics are a
+                    # single-step-path feature).
+                    chunk: list = []
+                    for batch in batches:
+                        chunk.append(batch)
+                        if len(chunk) < self.scan_steps:
+                            continue
+                        state, losses = self._scan_chunk(state, chunk, step)
+                        epoch_losses.append(losses)
+                        step += len(chunk)
+                        chunk = []
+                        if self.is_main and \
+                                (step // self.scan_steps) \
+                                % max(self.log_interval
+                                      // self.scan_steps, 1) == 0:
+                            self.logger.log({
+                                "train/loss": float(jnp.mean(losses)),
+                                "train/learning_rate":
+                                    float(self.lr_schedule(step)),
+                            }, step)
+                        if self.val_interval and \
+                                step % self.val_interval < self.scan_steps:
+                            self.state = state
+                            val_loss = self.validate()
+                            self.logger.log({"val/loss": val_loss}, step)
+                            if val_loss < self.best_val_loss:
+                                self.best_val_loss = val_loss
+                                self.save_checkpoint("best_model", epoch)
+                    for batch in chunk:  # ragged tail → single steps
+                        state, metrics = self.train_step(
+                            state, self._global_batch(batch),
+                            self._step_key(step))
+                        epoch_losses.append(metrics["loss"])
+                        step += 1
+                    batches = ()  # consumed
+
                 for batch in batches:
                     t0 = time.perf_counter()
                     key = self._step_key(step)
@@ -291,7 +368,8 @@ class DiffusionTrainer:
 
                 self.state = state
                 if epoch_losses:
-                    mean_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+                    mean_loss = float(jnp.mean(jnp.concatenate(
+                        [jnp.atleast_1d(l) for l in epoch_losses])))
                     history["train_loss"] = mean_loss
                     if self.is_main:
                         self.logger.log({

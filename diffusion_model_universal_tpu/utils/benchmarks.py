@@ -77,15 +77,35 @@ class FeatureExtractor:
         return self._extract(images)
 
 
-def make_extractor(use_inception: bool = False, seed: int = 0):
-    """Return the feature extractor; try torchvision InceptionV3 only on
-    request (weights must already be cached locally — zero egress)."""
+def make_extractor(use_inception: bool = False, seed: int = 0,
+                   weights_path: str = None):
+    """Return the feature extractor.
+
+    ``use_inception=True`` resolution order (zero-egress environment —
+    weights must be provisioned offline, see `utils/inception.py`):
+
+    1. pure-JAX InceptionV3 with converted weights from ``weights_path``
+       or ``$DMU_INCEPTION_WEIGHTS`` — literature-comparable FID/IS,
+       runs jitted on TPU;
+    2. torchvision InceptionV3 on CPU if torchvision + cached weights
+       happen to exist;
+    3. fall back to the seeded random extractor (ordering-only scores),
+       with a warning.
+    """
     if use_inception:
+        import os
+        path = weights_path or os.environ.get("DMU_INCEPTION_WEIGHTS", "")
+        if path and os.path.exists(path):
+            from .inception import InceptionExtractor
+            return InceptionExtractor(weights_path=path)
         try:
             return _TorchInceptionExtractor()
         except Exception as e:
-            print(f"[benchmarks] InceptionV3 unavailable ({e}); "
-                  "falling back to the fixed random extractor")
+            print(f"[benchmarks] InceptionV3 unavailable ({e}); set "
+                  "DMU_INCEPTION_WEIGHTS=<converted .npz> for real FID/IS "
+                  "(scripts/convert_weights.py). Falling back to the fixed "
+                  "random extractor (scores comparable across runs, not to "
+                  "the literature)")
     return FeatureExtractor(seed=seed)
 
 
@@ -123,24 +143,33 @@ class _TorchInceptionExtractor:  # pragma: no cover - needs cached weights
 
 def covariance(feats: Array) -> Array:
     """Unbiased covariance (reference `torch_cov`, `benchmarks.py:145-163`)."""
-    centered = feats - jnp.mean(feats, axis=0, keepdims=True)
+    feats = np.asarray(feats, np.float64)
+    centered = feats - feats.mean(axis=0, keepdims=True)
     return centered.T @ centered / (feats.shape[0] - 1)
 
 
-@jax.jit
-def frechet_distance(feats1: Array, feats2: Array) -> Array:
+def frechet_distance(feats1: Array, feats2: Array) -> float:
     """FID between two feature sets (reference `calculate_fid`,
-    `benchmarks.py:77-111`): ‖μ₁−μ₂‖² + tr(Σ₁+Σ₂−2(Σ₁Σ₂)^{1/2})."""
-    mu1, mu2 = jnp.mean(feats1, axis=0), jnp.mean(feats2, axis=0)
-    s1, s2 = covariance(feats1), covariance(feats2)
+    `benchmarks.py:77-111`): ‖μ₁−μ₂‖² + tr(Σ₁+Σ₂−2(Σ₁Σ₂)^{1/2}).
+
+    Computed HOST-SIDE in float64: the 2048² eigendecompositions are
+    trivial on CPU, while f32 eigh on near-rank-deficient covariances is
+    noisy enough to report nonzero FID for identical feature sets (the
+    extraction itself — the expensive part — runs jitted on device).
+    """
+    f1 = np.asarray(feats1, np.float64)
+    f2 = np.asarray(feats2, np.float64)
+    mu1, mu2 = f1.mean(axis=0), f2.mean(axis=0)
+    s1, s2 = covariance(f1), covariance(f2)
     # √Σ₁ via eigendecomposition (symmetric PSD up to clamping).
-    w1, v1 = jnp.linalg.eigh(s1)
-    sqrt_s1 = (v1 * jnp.sqrt(jnp.clip(w1, 1e-8, None))) @ v1.T
+    w1, v1 = np.linalg.eigh(s1)
+    sqrt_s1 = (v1 * np.sqrt(np.clip(w1, 0.0, None))) @ v1.T
     m = sqrt_s1 @ s2 @ sqrt_s1
-    wm = jnp.linalg.eigvalsh(m)
-    trace_sqrt = jnp.sum(jnp.sqrt(jnp.clip(wm, 1e-8, None)))
+    wm = np.linalg.eigvalsh(m)
+    trace_sqrt = np.sum(np.sqrt(np.clip(wm, 0.0, None)))
     diff = mu1 - mu2
-    return (diff @ diff + jnp.trace(s1) + jnp.trace(s2) - 2.0 * trace_sqrt)
+    return float(diff @ diff + np.trace(s1) + np.trace(s2)
+                 - 2.0 * trace_sqrt)
 
 
 def inception_score(logits: Array, splits: int = 10):

@@ -174,40 +174,35 @@ class DiffusionLoss:
 
 
 class PerceptualLoss:
-    """VGG-feature perceptual loss (reference `utils/losses.py:183-216`).
+    """VGG16-feature perceptual loss (reference `utils/losses.py:183-216`).
 
-    The reference downloads ImageNet-pretrained VGG16 weights; with zero
-    network egress that is unavailable, so this uses a fixed random-feature
-    convolutional stack (3 conv+relu stages mirroring relu1_2/2_2/3_3
-    receptive fields). Random convolutional features are a standard proxy for
-    perceptual distance; pass ``params`` from a real VGG if available.
+    With converted ImageNet VGG16 weights (``weights_path`` or
+    ``$DMU_VGG16_WEIGHTS``; see `utils/vgg.py` — this env has zero
+    egress, so weights are provisioned offline), this matches the
+    reference's relu1_2/relu2_2/relu3_3 feature distance. Without
+    weights it uses a fixed seeded random conv stack with the same
+    receptive-field structure — a standard ordering-preserving proxy.
     """
 
-    def __init__(self, seed: int = 0):
-        key = jax.random.PRNGKey(seed)
-        ks = jax.random.split(key, 3)
-        # He-scaled fixed filters: 3->64, 64->128, 128->256, all 3x3 (NHWC).
-        def conv_init(k, cin, cout):
-            return jax.random.normal(k, (3, 3, cin, cout)) * (2.0 / (9 * cin)) ** 0.5
-        self.filters = [conv_init(ks[0], 3, 64), conv_init(ks[1], 64, 128),
-                        conv_init(ks[2], 128, 256)]
+    def __init__(self, seed: int = 0, weights_path: Optional[str] = None):
+        import os
+        from .vgg import init_vgg16_params, load_vgg16_params
+        path = weights_path or os.environ.get("DMU_VGG16_WEIGHTS", "")
+        if path and os.path.exists(path):
+            self.params = load_vgg16_params(path)
+            self.pretrained = True
+        else:
+            self.params = init_vgg16_params(jax.random.PRNGKey(seed))
+            self.pretrained = False
         self.mean = jnp.array([0.485, 0.456, 0.406])
         self.std = jnp.array([0.229, 0.224, 0.225])
 
     def _features(self, x: Array):
-        h = (x - self.mean) / self.std
-        feats = []
-        for i, w in enumerate(self.filters):
-            h = jax.lax.conv_general_dilated(
-                h, w, window_strides=(1, 1), padding="SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            h = jax.nn.relu(h)
-            feats.append(h)
-            if i < len(self.filters) - 1:
-                h = jax.lax.reduce_window(
-                    h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
-                    "VALID")
-        return feats
+        from .vgg import vgg16_features
+        # [-1, 1] diffusion range → [0, 1] → ImageNet-normalize
+        # (reference `utils/losses.py:198-203`).
+        h = ((x + 1.0) * 0.5 - self.mean) / self.std
+        return vgg16_features(self.params, h)
 
     def __call__(self, pred: Array, target: Array) -> Array:
         loss = 0.0

@@ -1,0 +1,151 @@
+"""Pretrained-extractor tests: InceptionV3 / VGG16 architecture shapes,
+torch state_dict conversion roundtrip, npz save/load, FID wiring."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_model_universal_tpu.utils import inception as inc
+from diffusion_model_universal_tpu.utils import vgg
+from diffusion_model_universal_tpu.utils.benchmarks import (
+    frechet_distance, make_extractor)
+
+
+@pytest.fixture(scope="module")
+def inc_params():
+    return inc.init_inception_params(jax.random.PRNGKey(0))
+
+
+def test_inception_forward_shapes(inc_params):
+    x = jnp.zeros((2, 299, 299, 3), jnp.float32)
+    feats, logits = inc.inception_forward(inc_params, x)
+    assert feats.shape == (2, 2048)
+    assert logits.shape == (2, 1000)
+    assert np.all(np.isfinite(np.asarray(feats)))
+
+
+def test_inception_param_shapes_match_torchvision(inc_params):
+    """Spot-check against torchvision's published shapes."""
+    assert inc_params["Conv2d_1a_3x3"]["w"].shape == (3, 3, 3, 32)
+    assert inc_params["Mixed_5b"]["branch5x5_2"]["w"].shape == (5, 5, 48, 64)
+    assert inc_params["Mixed_6b"]["branch7x7_2"]["w"].shape == (1, 7, 128, 128)
+    assert inc_params["Mixed_7c"]["branch3x3dbl_1"]["w"].shape == \
+        (1, 1, 2048, 448)
+    assert inc_params["fc"]["w"].shape == (2048, 1000)
+    # Pin the total array count (convs + 4 BN stats each + fc, aux head
+    # excluded — torchvision's 27.16M includes the ~3.3M-param AuxLogits).
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(inc_params))
+    assert n == 23_869_000, n
+
+
+def test_inception_torch_conversion_roundtrip(inc_params, tmp_path):
+    """Build a fake torchvision state_dict with the real key names/shapes,
+    convert, and check the tree matches init_inception_params exactly."""
+    torch = pytest.importorskip("torch")
+
+    sd = {}
+
+    def add(prefix, node):
+        w = np.asarray(node["w"]).transpose(3, 2, 0, 1)  # HWIO → OIHW
+        sd[f"{prefix}.conv.weight"] = torch.from_numpy(w.copy())
+        for tkey, ours in (("bn.weight", "bn_w"), ("bn.bias", "bn_b"),
+                           ("bn.running_mean", "bn_mean"),
+                           ("bn.running_var", "bn_var")):
+            sd[f"{prefix}.{tkey}"] = torch.from_numpy(
+                np.asarray(node[ours]).copy())
+
+    for name, node in inc_params.items():
+        if name == "fc":
+            continue
+        if name.startswith("Conv2d"):
+            add(name, node)
+        else:
+            for bname, bnode in node.items():
+                add(f"{name}.{bname}", bnode)
+    sd["fc.weight"] = torch.from_numpy(
+        np.asarray(inc_params["fc"]["w"]).T.copy())
+    sd["fc.bias"] = torch.from_numpy(np.asarray(inc_params["fc"]["b"]).copy())
+
+    converted = inc.convert_torch_state_dict(sd)
+    a_leaves, a_def = jax.tree_util.tree_flatten(inc_params)
+    b_leaves, b_def = jax.tree_util.tree_flatten(converted)
+    assert a_def == b_def
+    for a, b in zip(a_leaves, b_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # npz save/load roundtrip preserves structure + forward output.
+    npz = str(tmp_path / "inc.npz")
+    inc.save_inception_npz(converted, npz)
+    loaded = inc.load_inception_params(npz)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 299, 299, 3))
+    f1, l1 = inc.inception_forward(inc_params, x)
+    f2, l2 = inc.inception_forward(loaded, x)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-4)
+
+
+def test_inception_extractor_fid_zero_on_identical(inc_params, tmp_path):
+    npz = str(tmp_path / "inc.npz")
+    inc.save_inception_npz(inc_params, npz)
+    ex = make_extractor(use_inception=True, weights_path=npz)
+    assert isinstance(ex, inc.InceptionExtractor)
+    imgs = jax.random.uniform(jax.random.PRNGKey(2), (8, 32, 32, 3),
+                              minval=-1, maxval=1)
+    feats, logits = ex(imgs)
+    assert feats.shape == (8, 2048) and logits.shape == (8, 1000)
+    fid_same = float(frechet_distance(feats, feats))
+    assert abs(fid_same) < 1e-2
+    # Shifted images must score measurably worse than identical ones.
+    feats2, _ = ex(jnp.clip(imgs + 0.5, -1, 1))
+    assert float(frechet_distance(feats, feats2)) > fid_same + 1e-3
+
+
+def test_make_extractor_falls_back_without_weights(capsys):
+    ex = make_extractor(use_inception=True, weights_path="/nonexistent.npz")
+    from diffusion_model_universal_tpu.utils.benchmarks import \
+        FeatureExtractor
+    assert isinstance(ex, FeatureExtractor)
+
+
+def test_vgg16_shapes_and_conversion(tmp_path):
+    torch = pytest.importorskip("torch")
+    params = vgg.init_vgg16_params(jax.random.PRNGKey(0))
+    assert params[0][0].shape == (3, 3, 3, 64)
+    assert params[-1][0].shape == (3, 3, 256, 256)
+    feats = vgg.vgg16_features(params, jnp.zeros((1, 64, 64, 3)))
+    assert [f.shape for f in feats] == [(1, 64, 64, 64), (1, 32, 32, 128),
+                                        (1, 16, 16, 256)]
+    # Fake torchvision state_dict → convert → identical forward.
+    sd = {}
+    for (idx, cin, cout), (w, b) in zip(vgg._CONVS, params):
+        sd[f"features.{idx}.weight"] = torch.from_numpy(
+            np.asarray(w).transpose(3, 2, 0, 1).copy())
+        sd[f"features.{idx}.bias"] = torch.from_numpy(np.asarray(b).copy())
+    conv = vgg.convert_torch_vgg16(sd)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 3))
+    for a, b in zip(vgg.vgg16_features(params, x),
+                    vgg.vgg16_features(conv, x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    npz = str(tmp_path / "vgg.npz")
+    vgg.save_vgg16_npz(conv, npz)
+    loaded = vgg.load_vgg16_params(npz)
+    for a, b in zip(conv, loaded):
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_perceptual_loss_uses_vgg_weights(tmp_path, monkeypatch):
+    from diffusion_model_universal_tpu.utils.losses import PerceptualLoss
+    params = vgg.init_vgg16_params(jax.random.PRNGKey(7))
+    npz = str(tmp_path / "vgg.npz")
+    vgg.save_vgg16_npz(params, npz)
+    monkeypatch.setenv("DMU_VGG16_WEIGHTS", npz)
+    pl = PerceptualLoss()
+    assert pl.pretrained
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 32, 3))
+    assert float(pl(x, x)) == pytest.approx(0.0, abs=1e-6)
+    assert float(pl(x, -x)) > 0.0
+    monkeypatch.delenv("DMU_VGG16_WEIGHTS")
+    pl2 = PerceptualLoss()
+    assert not pl2.pretrained
