@@ -138,30 +138,23 @@ class CelebADataset(ArrayImageDataset):
                 out[name] = self._prep(imgs[split_ids == sid],
                                        name == "train")
             return out
-        # Lazy JPEG path: decode official splits once to uint8 at the
-        # configured size (center-crop then resize, matching the eval
-        # transform), bounded memory at 64².
+        # JPEG path: threaded decode + native crop/resize (see
+        # sources.decode_jpegs_crop_resize), decoded once to uint8 at the
+        # configured size, bounded memory. Build `celeba_64.npz` with
+        # scripts/build_celeba_cache.py to skip this entirely.
         paths, split_ids = data, split_ids
         try:
-            from PIL import Image
+            import PIL  # noqa: F401
         except ImportError as e:  # pragma: no cover
             raise sources.DatasetNotFoundError(
                 "CelebA JPEG decoding needs PIL; provide celeba_64.npz "
                 "instead") from e
-        out = {}
         crop = self.crop_size or 178
+        out = {}
         for name, sid in (("train", 0), ("val", 1), ("test", 2)):
             sel = [p for p, s in zip(paths, split_ids) if s == sid]
-            arr = np.zeros((len(sel), self.image_size, self.image_size, 3),
-                           np.uint8)
-            for i, p in enumerate(sel):
-                img = Image.open(p)
-                w, h = img.size
-                left, top = (w - crop) // 2, (h - crop) // 2
-                img = img.crop((left, top, left + crop, top + crop)).resize(
-                    (self.image_size, self.image_size), Image.BILINEAR)
-                arr[i] = np.asarray(img, np.uint8)
-            out[name] = arr
+            out[name] = sources.decode_jpegs_crop_resize(
+                sel, crop, self.image_size)
         return out
 
 

@@ -139,3 +139,61 @@ def make_synthetic(num_samples: int = 2048, image_size: int = 32,
         grad = rng.uniform(-0.3, 0.3, (num_samples, 1, 1)) * (xx - 0.5)
         imgs[..., c] = np.clip(blob + grad + 0.3, 0.0, 1.0)
     return (imgs * 255).astype(np.uint8)
+
+
+def decode_jpegs_crop_resize(paths, crop: int, out_size: int,
+                             num_threads: int = 16,
+                             chunk: int = 2048) -> np.ndarray:
+    """Fast JPEG ingest: threaded PIL decode + native crop/resize.
+
+    The reference decodes CelebA's ~200k JPEGs one-by-one on the Python
+    thread (`/root/reference/datasets/celeba_loader.py:88-102` via
+    torchvision transforms); here decode runs on a thread pool (libjpeg
+    releases the GIL) and the 178→``out_size`` center-crop + bilinear
+    resize runs in the threaded C++ loader (`native/batch_loader.cpp`),
+    chunked so peak memory stays at one raw chunk.
+
+    Images whose size differs from the majority are handled per-image via
+    PIL (CelebA aligned images are uniformly 178×218).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    from .. import native
+
+    n = len(paths)
+    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    if n == 0:
+        return out
+
+    with Image.open(paths[0]) as im0:
+        w0, h0 = im0.size
+
+    def decode_into(buf, i, path):
+        with Image.open(path) as img:
+            img = img.convert("RGB")
+            if img.size != (w0, h0):
+                # Odd-sized image: full PIL path for this one.
+                w, h = img.size
+                c = min(crop, w, h)
+                left, top = (w - c) // 2, (h - c) // 2
+                small = img.crop((left, top, left + c, top + c)).resize(
+                    (out_size, out_size), Image.BILINEAR)
+                return i, np.asarray(small, np.uint8)
+            buf[i] = np.asarray(img, np.uint8)
+            return None
+
+    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            raw = np.empty((end - start, h0, w0, 3), np.uint8)
+            odd = list(pool.map(
+                lambda t: decode_into(raw, t[0], t[1]),
+                enumerate(paths[start:end])))
+            out[start:end] = native.center_crop_resize(
+                raw, min(crop, w0, h0), out_size, num_threads=num_threads)
+            for item in odd:
+                if item is not None:
+                    out[start + item[0]] = item[1]
+    return out

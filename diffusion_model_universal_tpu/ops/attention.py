@@ -50,9 +50,15 @@ def _mha_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float):
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@jax.jit
-def mha_pallas(q: Array, k: Array, v: Array) -> Array:
-    """Fused attention kernel over [B, N, S, D]; grid = B·N."""
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mha_pallas(q: Array, k: Array, v: Array,
+               interpret: bool = False) -> Array:
+    """Fused attention kernel over [B, N, S, D]; grid = B·N.
+
+    ``interpret=True`` runs the kernel body through the Pallas
+    interpreter — how CI exercises the kernel numerics on CPU against
+    :func:`mha_xla`.
+    """
     b, n, s, d = q.shape
     scale = d ** -0.5
     qf = q.reshape(b * n, s, d)
@@ -65,6 +71,7 @@ def mha_pallas(q: Array, k: Array, v: Array) -> Array:
         grid=(b * n,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
+        interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, n, s, d)
 

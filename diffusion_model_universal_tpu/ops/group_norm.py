@@ -143,11 +143,18 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, out_ref, *, num_groups: int,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "apply_silu"))
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps",
+                                              "apply_silu", "interpret"))
 def group_norm_silu_pallas(x: Array, scale: Array, bias: Array,
                            num_groups: int, eps: float = 1e-5,
-                           apply_silu: bool = True) -> Array:
-    """Pallas TPU fused GroupNorm(+SiLU), NHWC, one batch row per grid step."""
+                           apply_silu: bool = True,
+                           interpret: bool = False) -> Array:
+    """Pallas TPU fused GroupNorm(+SiLU), NHWC, one batch row per grid step.
+
+    ``interpret=True`` runs the kernel body through the Pallas
+    interpreter — how CI exercises the kernel numerics on CPU against
+    :func:`group_norm_silu_xla` (SURVEY §7 item 12).
+    """
     b, h, w, c = x.shape
     s = h * w
     x2 = x.reshape(b, s, c)
@@ -165,6 +172,7 @@ def group_norm_silu_pallas(x: Array, scale: Array, bias: Array,
             pl.BlockSpec((1, c), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+        interpret=interpret,
     )(x2, scale2, bias2)
     return out.reshape(b, h, w, c)
 

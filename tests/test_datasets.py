@@ -228,3 +228,77 @@ def test_prefetch_loader_propagates_errors():
     loader = PrefetchLoader(FailingLoader())
     with pytest.raises(Boom):
         list(loader)
+
+
+def _write_fake_celeba(root, n=24):
+    """Synthetic 178×218 JPEGs + official-format partition file."""
+    from PIL import Image
+    img_dir = root / "img_align_celeba"
+    img_dir.mkdir(parents=True)
+    lines = []
+    yy, xx = np.mgrid[0:218, 0:178].astype(np.float32)
+    for i in range(n):
+        # Smooth gradients (PIL's antialiased downsample and the native
+        # 2-tap bilinear agree closely only on low-frequency content).
+        arr = np.stack([
+            127 + 100 * np.sin(xx / 40.0 + i),
+            127 + 100 * np.cos(yy / 50.0 - i * 0.3),
+            127 + 60 * np.sin((xx + yy) / 70.0),
+        ], axis=-1).clip(0, 255).astype(np.uint8)
+        name = f"{i:06d}.jpg"
+        Image.fromarray(arr).save(img_dir / name, quality=95)
+        lines.append(f"{name} {0 if i < n - 8 else (1 if i < n - 4 else 2)}")
+    (root / "list_eval_partition.txt").write_text("\n".join(lines) + "\n")
+
+
+def test_celeba_jpeg_ingest_threaded(tmp_path):
+    """The threaded decode + native crop/resize path must reproduce the
+    per-image PIL reference within JPEG/bilinear tolerance and honor the
+    official split file."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+    from diffusion_model_universal_tpu.datasets import sources
+    from diffusion_model_universal_tpu.datasets.registry import CelebADataset
+
+    _write_fake_celeba(tmp_path, n=24)
+    ds = CelebADataset(data_dir=str(tmp_path), image_size=64,
+                       transforms={"train": [], "eval": []},
+                       crop_size=178)
+    assert ds.train_dataset.shape == (16, 64, 64, 3)
+    assert ds.val_dataset.shape == (4, 64, 64, 3)
+    assert ds.test_dataset.shape == (4, 64, 64, 3)
+
+    # Numerics vs the serial PIL reference for the first train image.
+    p = tmp_path / "img_align_celeba" / "000000.jpg"
+    img = Image.open(p)
+    w, h = img.size
+    left, top = (w - 178) // 2, (h - 178) // 2
+    ref = np.asarray(img.crop((left, top, left + 178, top + 178)).resize(
+        (64, 64), Image.BILINEAR), np.float32)
+    got = ds.train_dataset[0].astype(np.float32)
+    assert np.mean(np.abs(got - ref)) < 3.0  # bilinear impls differ slightly
+
+
+def test_celeba_cache_builder_script(tmp_path):
+    pytest.importorskip("PIL")
+    import subprocess
+    import sys
+    import os
+    _write_fake_celeba(tmp_path, n=12)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts",
+                                      "build_celeba_cache.py"),
+         str(tmp_path), "--size", "32"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert "images/sec" in r.stdout
+    with np.load(tmp_path / "celeba_32.npz") as z:
+        assert z["images"].shape == (12, 32, 32, 3)
+        assert z["splits"].shape == (12,)
+    # load_celeba now prefers the cache (array fast-path).
+    from diffusion_model_universal_tpu.datasets import sources
+    data, splits = sources.load_celeba(str(tmp_path))
+    # (cache name is size-specific; celeba_64 preferred — absent here, so
+    # the JPEG path is still returned for size-64 consumers)
+    assert isinstance(data, list) or isinstance(data, np.ndarray)

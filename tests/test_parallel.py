@@ -164,3 +164,25 @@ def test_opt_state_sharding_structure():
     placed = jax.device_put(opt_state, o_shard)  # structure-compatible
     assert jax.tree_util.tree_structure(placed) == \
         jax.tree_util.tree_structure(opt_state)
+
+
+def test_global_batch_contract(tmp_path):
+    """_global_batch places a host batch with batch-axis sharding over the
+    'data' mesh axis; shape is preserved and each device holds B/data rows
+    (docs/multihost.md contract)."""
+    cfg = _config(tmp_path)
+    loader = _loader()
+    model = DDPM(TINY)
+    tr = DDPMTrainer(model, loader, loader, loader, cfg,
+                     mesh=M.make_mesh())  # 8-way data parallel
+    batch = next(iter(loader))
+    g = tr._global_batch(batch)
+    assert g.shape == batch.shape
+    assert len(g.sharding.device_set) == 8
+    assert g.addressable_shards[0].data.shape[0] == batch.shape[0] // 8
+    # Loader length (steps/epoch) is rank-invariant for even shards.
+    ls = [len(type(loader)(loader.images, batch_size=4,
+                           augment=loader.augment, world_size=2, rank=r))
+          for r in range(2)]
+    assert ls[0] == ls[1]
+    tr.cleanup()
