@@ -108,8 +108,10 @@ def bench_training(peak: float) -> None:
     from diffusion_model_universal_tpu.models import DDPM
     from diffusion_model_universal_tpu.trainers import DDPMTrainer
 
-    batch_size = 256
-    scan_k = 10
+    # B=512 beats B=256 by ~9% since the GN layout fix (BENCH_NOTES.md);
+    # the scan path hides the larger per-dispatch host gap at this size.
+    batch_size = 512
+    scan_k = 8
     model = DDPM({
         "num_timesteps": 1000, "image_size": 32, "in_channels": 3,
         "model_channels": 128, "remat": False,
@@ -164,7 +166,7 @@ def bench_training(peak: float) -> None:
 
     print(json.dumps({
         "metric": "DDPM CIFAR-10 train throughput "
-                  "(C=128 UNet, bf16, B=256, 10-step scan)",
+                  "(C=128 UNet, bf16, B=512, 8-step scan)",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
