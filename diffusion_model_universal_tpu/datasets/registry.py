@@ -222,7 +222,8 @@ def get_dataset(config: Dict, world_size: int = 1, rank: int = 0,
     if "crop_size" in block:
         kwargs["crop_size"] = block["crop_size"]
     if name == "synthetic":
-        kwargs["num_samples"] = block.get("num_samples", 2048)
+        kwargs["num_samples"] = config["data"].get(
+            "num_samples", block.get("num_samples", 2048))
 
     dataset = cls(**kwargs)
     loader_cfg = block.get("dataloader", {})

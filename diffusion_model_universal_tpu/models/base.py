@@ -53,10 +53,12 @@ class BaseDiffusionModel:
             dtype_name = ("bfloat16" if jax.default_backend() == "tpu"
                           else "float32")
         self.compute_dtype = jnp.dtype(dtype_name)
-        # Pallas kernels are opt-in: measured on v5e, the current fused
-        # GN/attention kernels lose to XLA's own fusion for this UNet's
-        # small spatial shapes (A/B: 8.6k vs 6.6k img/s fwd+bwd at C=128,
-        # B=256) — XLA is the fast path until the kernels win.
+        # Pallas kernels are opt-in: measured on v5e (round 2), even the
+        # fully-fused GN fwd+bwd kernels lose to XLA for this UNet
+        # (fwd+bwd 32.2 vs 22.0 ms at B=256/C=128) because a custom call
+        # is a fusion BARRIER — XLA folds the GN statistics pass into the
+        # producing conv's epilogue, which a standalone kernel cannot
+        # match. See BENCH_NOTES.md "Pallas kernel status".
         self.use_pallas: bool = self.config.get("use_pallas", False)
 
     # -- abstract surface -------------------------------------------------

@@ -40,6 +40,7 @@ def _write_config(tmp_path, model_type="ddpm"):
         data:
           dataset: "synthetic"
           data_dir: "unused"
+          num_samples: 256
         logging:
           use_wandb: false
           use_tensorboard: false

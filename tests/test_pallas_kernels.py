@@ -77,3 +77,84 @@ def test_mha_pallas_softmax_stability():
     np.testing.assert_allclose(np.asarray(out[0, 0, 0]),
                                np.asarray(jnp.mean(v[0, 0], axis=0)),
                                atol=1e-5)
+
+
+def test_gn_pallas_time_bias_matches_xla():
+    """The fused time-bias path (stats adjusted from channel sums) must
+    match the XLA oracle."""
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (4, 4, 4, 32))
+    tb = jax.random.normal(jax.random.fold_in(key, 1), (4, 32)) * 0.5
+    s = jnp.ones((32,)) * 1.3
+    b = jnp.ones((32,)) * 0.1
+    ref = group_norm_silu_xla(x, s, b, 8, time_bias=tb)
+    out = group_norm_silu_pallas(x, s, b, 8, time_bias=tb, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+@pytest.mark.parametrize("silu", [True, False])
+@pytest.mark.parametrize("with_tb", [True, False])
+def test_gn_pallas_fused_backward_matches_xla_vjp(silu, with_tb):
+    """The fused backward kernel must reproduce the XLA vjp for all of
+    (dx, dscale, dbias, dtime_bias)."""
+    from diffusion_model_universal_tpu.ops.group_norm import (
+        group_norm_silu_pallas_bwd)
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (3, 4, 4, 32)) * 1.5 + 0.3
+    tb = (jax.random.normal(jax.random.fold_in(key, 1), (3, 32))
+          if with_tb else jnp.zeros((3, 32)))
+    scale = jax.random.uniform(jax.random.fold_in(key, 2), (32,),
+                               minval=0.5, maxval=1.5)
+    bias = jax.random.normal(jax.random.fold_in(key, 3), (32,)) * 0.2
+    dy = jax.random.normal(jax.random.fold_in(key, 4), x.shape)
+
+    def xla_fn(x, scale, bias, tb):
+        return group_norm_silu_xla(x, scale, bias, 8, time_bias=tb,
+                                   apply_silu=silu)
+
+    _, vjp = jax.vjp(xla_fn, x, scale, bias, tb)
+    dx_ref, dscale_ref, dbias_ref, dtb_ref = vjp(dy)
+    dx, dscale, dbias, dtb = group_norm_silu_pallas_bwd(
+        x, scale, bias, tb, dy, 8, apply_silu=silu, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dscale), np.asarray(dscale_ref),
+                               atol=2e-3, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref),
+                               atol=2e-3, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dtb), np.asarray(dtb_ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_gn_fused_custom_vjp_end_to_end():
+    """jax.grad through the fused op (interpret) == grad through XLA."""
+    from diffusion_model_universal_tpu.ops.group_norm import \
+        group_norm_silu_fused
+    key = jax.random.PRNGKey(9)
+    x = jax.random.normal(key, (4, 2, 2, 32))
+    tb = jax.random.normal(jax.random.fold_in(key, 1), (4, 32)) * 0.3
+    scale = jnp.ones((32,)) * 0.9
+    bias = jnp.zeros((32,))
+
+    def loss_fused(x, scale, bias, tb):
+        return jnp.sum(group_norm_silu_fused(
+            x, scale, bias, 8, time_bias=tb, interpret=True) ** 2)
+
+    def loss_xla(x, scale, bias, tb):
+        return jnp.sum(group_norm_silu_xla(
+            x, scale, bias, 8, time_bias=tb) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, scale, bias, tb)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(x, scale, bias, tb)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4)
+
+
+def test_gn_block_rows_divides_batch():
+    from diffusion_model_universal_tpu.ops.group_norm import _block_rows
+    for b in (1, 3, 8, 12, 256, 512):
+        r = _block_rows(b, 1024, 128, bufs=2)
+        assert b % r == 0 and 1 <= r <= b
+    # Tiny spatial: whole batch in one block.
+    assert _block_rows(8, 16, 64, bufs=2) == 8

@@ -28,7 +28,10 @@ def _tiny_config(tmp_path, **overrides):
             "val_interval": 0, "sample_interval": 0,
             "checkpoint_interval": 0,
         },
-        "data": {"dataset": "synthetic", "data_dir": "unused"},
+        # 256 synthetic samples → 32 steps/epoch: full-epoch tests assert
+        # loop semantics, not throughput; 2048 samples cost ~6× the suite.
+        "data": {"dataset": "synthetic", "data_dir": "unused",
+                 "num_samples": 256},
         "logging": {"use_wandb": False, "use_tensorboard": False,
                     "gradient_logging_freq": 1,
                     "track_per_layer_metrics": True},
