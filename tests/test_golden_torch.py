@@ -1,0 +1,127 @@
+"""Golden parity vs an independent PyTorch re-execution (SURVEY §4).
+
+The reference's layer math (GN→SiLU→conv → +time-bias → GN→SiLU→conv
+→ +shortcut, `models/layers/residual.py:11-68`) is re-implemented here in
+torch FROM THE DOCUMENTED FORMULAS (not copied), loaded with the flax
+module's own weights, and compared elementwise. This pins our NHWC/fused
+implementation to the reference semantics on fixed weights/inputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from diffusion_model_universal_tpu.models.layers.embeddings import \
+    sinusoidal_embedding  # noqa: E402
+from diffusion_model_universal_tpu.models.layers.resnet import \
+    ResidualBlock  # noqa: E402
+
+
+def _t(x):  # NHWC jax → NCHW torch
+    return torch.from_numpy(np.asarray(x, np.float32).transpose(0, 3, 1, 2))
+
+
+def _w(k):  # HWIO → OIHW
+    return torch.from_numpy(np.asarray(k, np.float32).transpose(3, 2, 0, 1))
+
+
+def test_residual_block_matches_torch_reference_math():
+    B, H, W, CIN, COUT, G = 2, 8, 8, 16, 32, 8
+    block = ResidualBlock(out_channels=COUT, num_groups=G,
+                          dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, H, W, CIN))
+    t_emb = jax.random.normal(jax.random.fold_in(key, 1), (B, 64))
+    params = block.init(jax.random.fold_in(key, 2), x, t_emb)["params"]
+    # Zero-init conv2/time_proj make the block an identity at init; for a
+    # meaningful comparison, randomize them.
+    params = jax.tree_util.tree_map(
+        lambda p: jax.random.normal(jax.random.fold_in(key, p.size % 97),
+                                    p.shape) * 0.3, params)
+    out_jax = block.apply({"params": params}, x, t_emb)
+
+    # --- torch re-execution of the reference formulas (NCHW) -----------
+    def gn_silu(z, scale, bias):
+        z = torch.nn.functional.group_norm(
+            z, G, torch.from_numpy(np.asarray(scale, np.float32)),
+            torch.from_numpy(np.asarray(bias, np.float32)), eps=1e-5)
+        return torch.nn.functional.silu(z)
+
+    xt = _t(x)
+    h = gn_silu(xt, params["norm1"]["scale"], params["norm1"]["bias"])
+    h = torch.nn.functional.conv2d(h, _w(params["conv1"]["kernel"]),
+                                   padding=1)
+    tb = (torch.from_numpy(np.asarray(t_emb, np.float32))
+          @ torch.from_numpy(np.asarray(params["time_proj"]["kernel"],
+                                        np.float32))
+          + torch.from_numpy(np.asarray(params["time_proj"]["bias"],
+                                        np.float32)))
+    h = h + tb[:, :, None, None]
+    h = gn_silu(h, params["norm2"]["scale"], params["norm2"]["bias"])
+    h = torch.nn.functional.conv2d(h, _w(params["conv2"]["kernel"]),
+                                   padding=1)
+    short = torch.nn.functional.conv2d(
+        xt, _w(params["shortcut"]["kernel"]))
+    out_torch = (h + short).numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(np.asarray(out_jax), out_torch,
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_sinusoidal_embedding_matches_torch_reference_math():
+    """Reference formula (`models/layers/embeddings.py:24-39`):
+    emb = [sin(t·ω), cos(t·ω)], ω = exp(−ln(10000)·i/(d/2 − 1))."""
+    d = 64
+    ts = [0, 1, 7, 99]  # moderate t: f32 sin arg-reduction differs across
+    t = jnp.asarray(ts, jnp.int32)  # backends at ~1e-5 for huge phases
+    ours = np.asarray(sinusoidal_embedding(t, d))
+    tt = torch.tensor(ts, dtype=torch.float32)
+    half = d // 2
+    freqs = torch.exp(torch.arange(half, dtype=torch.float32)
+                      * (-float(np.log(10000.0)) / (half - 1)))
+    args = tt[:, None] * freqs[None]
+    ref = torch.cat([torch.sin(args), torch.cos(args)], dim=1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_group_norm_matches_torch_group_norm():
+    """Our layout-preserving GN formulation == torch.nn.functional.group_norm."""
+    from diffusion_model_universal_tpu.ops.group_norm import \
+        group_norm_silu_xla
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (4, 8, 8, 32)) * 2 + 1
+    scale = jax.random.uniform(jax.random.fold_in(key, 1), (32,),
+                               minval=0.5, maxval=1.5)
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (32,)) * 0.2
+    ours = np.asarray(group_norm_silu_xla(x, scale, bias, 8,
+                                          apply_silu=False))
+    ref = torch.nn.functional.group_norm(
+        _t(x), 8, torch.from_numpy(np.asarray(scale, np.float32)),
+        torch.from_numpy(np.asarray(bias, np.float32)),
+        eps=1e-5).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=3e-5)
+
+
+def test_ddpm_q_sample_matches_torch_reference_math():
+    """q(x_t|x_0) = √ᾱ_t x₀ + √(1−ᾱ_t) ε (reference `models/ddpm.py:286-296`)."""
+    from diffusion_model_universal_tpu.models.schedules import (
+        make_noise_schedule, q_sample)
+    sched = make_noise_schedule(1e-4, 2e-2, 100, "linear")
+    key = jax.random.PRNGKey(5)
+    x0 = jax.random.normal(key, (3, 4, 4, 3))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    t = jnp.asarray([0, 50, 99], jnp.int32)
+    ours = np.asarray(q_sample(sched, x0, t, noise))
+
+    betas = torch.linspace(1e-4, 2e-2, 100, dtype=torch.float64)
+    ac = torch.cumprod(1.0 - betas, dim=0)
+    tt = torch.tensor([0, 50, 99])
+    s1 = torch.sqrt(ac[tt]).float()[:, None, None, None]
+    s2 = torch.sqrt(1 - ac[tt]).float()[:, None, None, None]
+    ref = (s1 * torch.from_numpy(np.asarray(x0, np.float32))
+           + s2 * torch.from_numpy(np.asarray(noise, np.float32))).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
