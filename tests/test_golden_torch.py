@@ -22,11 +22,13 @@ from diffusion_model_universal_tpu.models.layers.resnet import \
 
 
 def _t(x):  # NHWC jax → NCHW torch
-    return torch.from_numpy(np.asarray(x, np.float32).transpose(0, 3, 1, 2))
+    return torch.from_numpy(
+        np.asarray(x, np.float32).transpose(0, 3, 1, 2).copy())
 
 
 def _w(k):  # HWIO → OIHW
-    return torch.from_numpy(np.asarray(k, np.float32).transpose(3, 2, 0, 1))
+    return torch.from_numpy(
+        np.asarray(k, np.float32).transpose(3, 2, 0, 1).copy())
 
 
 def test_residual_block_matches_torch_reference_math():

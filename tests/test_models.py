@@ -179,3 +179,23 @@ def test_yaml_spelling_reaches_model():
     assert model.net.model_channels == 8
     assert model.net.in_channels == 1
     assert model.image_channels == 1
+
+
+def test_ddpm_ancestral_sampler_recovers_unit_gaussian():
+    """End-to-end sampler DISTRIBUTION check: for x₀ ~ N(0, I) the optimal
+    ε-predictor is ε̂(x_t, t) = √(1−ᾱ_t)·x_t; running the full ancestral
+    chain with it must produce samples with mean≈0, var≈1. Catches any
+    scale/σ bug in the reverse-process math that shape tests cannot."""
+    class AnalyticDDPM(DDPM):
+        def apply(self, params, x, t, train=False, rng=None):
+            coef = jnp.take(self.schedule.sqrt_one_minus_alphas_cumprod, t)
+            return coef[:, None, None, None] * x
+
+    model = AnalyticDDPM({"num_timesteps": 200, "image_size": 32,
+                          "in_channels": 1, "model_channels": 8,
+                          "compute_dtype": "float32", "use_pallas": False,
+                          "remat": False})
+    samples = model.generate_samples({}, jax.random.PRNGKey(0), 64)
+    vals = np.asarray(samples).ravel()
+    assert abs(vals.mean()) < 0.05, vals.mean()
+    assert 0.9 < vals.var() < 1.1, vals.var()
