@@ -144,16 +144,17 @@ def bench_training(peak: float) -> None:
     step_flops = _flops_of(trainer.train_step, state, chunk[0],
                            trainer._step_key(0))
 
-    # Warmup (compile) then steady-state timing.
-    for i in range(2):
+    # Warmup (compile + let the remote compile service settle) then
+    # steady-state timing.
+    for i in range(4):
         state, losses = trainer._scan_chunk(state, chunk, i * scan_k)
     jax.block_until_ready(losses)
 
-    n_chunks = 5
+    n_chunks = 8
     t0 = time.perf_counter()
     for i in range(n_chunks):
         state, losses = trainer._scan_chunk(state, chunk,
-                                            (i + 2) * scan_k)
+                                            (i + 4) * scan_k)
     jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 

@@ -224,3 +224,39 @@ def test_sample_grid_written(tmp_path):
     import os
     assert os.path.exists(out)
     tr.cleanup()
+
+
+def test_scan_steps_matches_single_step_path(tmp_path, monkeypatch):
+    """training.scan_steps=K (K steps per dispatch, in-jit RNG derivation)
+    must produce float-identical training to the single-step loop on the
+    same data — same per-step keys, same batch order, ragged tail handled.
+
+    Uses SGD: Adam's sign-like first steps amplify compile-order float
+    noise into unbounded param divergence (same rationale as
+    tests/test_parallel.py::test_dp_train_step_matches_single_device)."""
+    import optax as _optax
+    from diffusion_model_universal_tpu.trainers import optim as optim_mod
+
+    monkeypatch.setattr(
+        optim_mod, "make_optimizer",
+        lambda cfg, spe, ne: (_optax.sgd(_optax.constant_schedule(1e-3)),
+                              _optax.constant_schedule(1e-3)))
+
+    def build(scan_steps):
+        # 128 samples → 102 train → 12 steps: 2 chunks of 5 + ragged tail.
+        cfg = _tiny_config(tmp_path, training={"scan_steps": scan_steps})
+        cfg["data"]["num_samples"] = 128
+        train, val, test = get_dataset(cfg)
+        model = DDPM(cfg["model_config"])
+        tr = DDPMTrainer(model, train, val, test, cfg)
+        tr.train(1)
+        return tr
+
+    tr_scan = build(5)
+    tr_single = build(1)
+    assert int(tr_scan.state.step) == int(tr_single.state.step) == 12
+    for a, b in zip(jax.tree_util.tree_leaves(tr_scan.state.params),
+                    jax.tree_util.tree_leaves(tr_single.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    tr_scan.cleanup()
+    tr_single.cleanup()
