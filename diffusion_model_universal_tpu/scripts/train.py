@@ -101,9 +101,19 @@ def main(argv=None) -> int:
         if args.benchmark and is_main_process():
             from ..utils.benchmarks import DiffusionBenchmark
             bench_cfg = config.get("benchmark", {}) or {}
+            # Sample-count defaults mirror the reference: 50k for
+            # --eval_only, 2k post-train (`scripts/train.py:138,172`);
+            # batch defaults to the training batch. use_inception=True
+            # requests the real InceptionV3 (weights via
+            # DMU_INCEPTION_WEIGHTS; falls back to the seeded random
+            # extractor with a warning otherwise).
+            default_n = 50000 if args.eval_only else 2000
             bench = DiffusionBenchmark(
-                n_samples=bench_cfg.get("n_samples", 2000),
-                batch_size=bench_cfg.get("batch_size", 128),
+                n_samples=bench_cfg.get("n_samples", default_n),
+                batch_size=bench_cfg.get(
+                    "batch_size",
+                    config.get("training", {}).get("batch_size", 128)),
+                use_inception=bench_cfg.get("use_inception", True),
                 metrics=bench_cfg.get("metrics"))
             out_dir = Path(config.get("output", {}).get(
                 "output_dir", "outputs"))

@@ -7,10 +7,19 @@ import numpy as np
 import pytest
 
 
-def _write_config(tmp_path, model_type="ddpm"):
+def _write_config(tmp_path, model_type="ddpm", benchmark=False):
     extra = ""
     if model_type == "ddim":
         extra = "  ddim_sampling_steps: 4\n  eta: 0.0\n"
+    bench_block = ""
+    if benchmark:
+        bench_block = textwrap.dedent("""\
+            benchmark:
+              n_samples: 8
+              batch_size: 8
+              save_samples: true
+              use_inception: false
+        """)
     cfg = textwrap.dedent(f"""
         model_name: "{model_type.upper()}"
         model_config:
@@ -47,7 +56,7 @@ def _write_config(tmp_path, model_type="ddpm"):
           log_interval: 1000
         output:
           output_dir: "{tmp_path}/out"
-    """)
+    """) + bench_block
     path = tmp_path / f"{model_type}.yaml"
     path.write_text(cfg)
     return path
@@ -108,3 +117,23 @@ def test_argparser_surface():
     assert args.num_samples == 9
     with pytest.raises(SystemExit):
         tp.parse_args(["--config", "c.yaml", "--model_type", "bogus"])
+
+
+@pytest.mark.slow
+def test_eval_only_benchmark_cli(tmp_path):
+    """--eval_only --benchmark: test loss + FID/IS/SSIM/PSNR results file
+    (reference `scripts/train.py:127-156`)."""
+    import json
+    from diffusion_model_universal_tpu.scripts import train as train_cli
+
+    cfg_path = _write_config(tmp_path, benchmark=True)
+    rc = train_cli.main(["--config", str(cfg_path), "--model_type", "ddpm",
+                         "--eval_only", "--benchmark"])
+    assert rc == 0
+    results = json.loads(
+        (tmp_path / "out" / "benchmark_results.json").read_text())
+    for k in ("fid", "is_mean", "is_std", "ssim", "psnr"):
+        assert k in results and np.isfinite(results[k]), (k, results)
+    # save_samples: true → at least one sample batch written
+    sample_dir = tmp_path / "out" / "benchmark_samples"
+    assert sample_dir.exists() and any(sample_dir.iterdir())
