@@ -199,8 +199,11 @@ class PerceptualLoss:
 
     def _features(self, x: Array):
         from .vgg import vgg16_features
-        # [-1, 1] diffusion range → [0, 1] → ImageNet-normalize
-        # (reference `utils/losses.py:198-203`).
+        # [-1, 1] diffusion range → [0, 1] → ImageNet-normalize. The
+        # reference normalizes the [-1, 1] tensor directly
+        # (`utils/losses.py:203-205`), i.e. feeds VGG data shifted ~2σ
+        # off its training distribution — intended-behavior fix, same
+        # spirit as the D-series defects (SURVEY §2.7).
         h = ((x + 1.0) * 0.5 - self.mean) / self.std
         return vgg16_features(self.params, h)
 
