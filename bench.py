@@ -73,15 +73,17 @@ def bench_sampler(peak: float) -> None:
             ("DDPM 1000-step sampler (64x64, B=64)", DDPM(cfg), 1000),
             ("DDIM 50-step sampler (64x64, B=64)",
              DDIM({**cfg, "ddim_sampling_steps": 50}), 50)):
+        import numpy as np
         params = model.init_params(key)
         fn = lambda p, k: model.generate_samples(p, k, batch)
-        out = fn(params, key)
-        jax.block_until_ready(out)          # compile
+        _ = np.asarray(fn(params, key))     # compile + run
         n = 3 if steps <= 50 else 1
         t0 = time.perf_counter()
         for i in range(n):
             out = fn(params, jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
+        # Force materialization: block_until_ready has been observed to
+        # return early under tunneled runtimes (BENCH_NOTES / memory).
+        _ = np.asarray(out)
         dt = (time.perf_counter() - t0) / n
         # Roofline: XLA cost analysis counts a lax.scan body ONCE, so use
         # one UNet apply × the number of sampler steps.
@@ -146,16 +148,17 @@ def bench_training(peak: float) -> None:
 
     # Warmup (compile + let the remote compile service settle) then
     # steady-state timing.
+    import numpy as np
     for i in range(4):
         state, losses = trainer._scan_chunk(state, chunk, i * scan_k)
-    jax.block_until_ready(losses)
+    _ = np.asarray(losses)
 
     n_chunks = 8
     t0 = time.perf_counter()
     for i in range(n_chunks):
         state, losses = trainer._scan_chunk(state, chunk,
                                             (i + 4) * scan_k)
-    jax.block_until_ready(losses)
+    _ = np.asarray(losses)  # materialize: see sampler comment
     dt = time.perf_counter() - t0
 
     n_steps = n_chunks * scan_k
