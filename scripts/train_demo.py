@@ -28,10 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", type=str, default="ddpm",
+                    choices=["ddpm", "ddim", "score_based", "energy_based"])
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--samples", type=int, default=8192)
+    ap.add_argument("--skip_sampling", action="store_true")
     ap.add_argument("--out", type=str, default="/tmp/dmu_demo")
     args = ap.parse_args()
 
@@ -42,17 +45,23 @@ def main() -> None:
     import numpy as np
 
     from diffusion_model_universal_tpu.datasets import get_dataset
-    from diffusion_model_universal_tpu.models import DDPM
-    from diffusion_model_universal_tpu.trainers import DDPMTrainer
+    from diffusion_model_universal_tpu.models import MODEL_REGISTRY
+    from diffusion_model_universal_tpu.trainers import TRAINER_REGISTRY
     from diffusion_model_universal_tpu.utils.images import save_image
 
+    model_cfg = {
+        "num_timesteps": 1000, "image_size": 32, "in_channels": 3,
+        "model_channels": args.channels, "remat": False,
+        "loss_config": {"use_time_weighting": False},
+    }
+    if args.model == "score_based":
+        # Fewer scales keep the (un-tuned) Langevin sampler demo tractable.
+        model_cfg.update(num_scales=200, langevin_steps=5, sigma_max=10.0)
+    if args.model == "energy_based":
+        model_cfg.update(num_timesteps=100, langevin_steps=5)
     cfg = {
-        "model_name": "DDPM-demo",
-        "model_config": {
-            "num_timesteps": 1000, "image_size": 32, "in_channels": 3,
-            "model_channels": args.channels, "remat": False,
-            "loss_config": {"use_time_weighting": False},
-        },
+        "model_name": f"{args.model}-demo",
+        "model_config": model_cfg,
         "training": {
             "num_epochs": args.epochs, "batch_size": args.batch,
             "learning_rate": 2e-4, "scan_steps": 8,
@@ -67,8 +76,8 @@ def main() -> None:
         "output": {"output_dir": args.out},
     }
     train, val, test = get_dataset(cfg)
-    model = DDPM(cfg["model_config"])
-    trainer = DDPMTrainer(model, train, val, test, cfg)
+    model = MODEL_REGISTRY[args.model](cfg["model_config"])
+    trainer = TRAINER_REGISTRY[args.model](model, train, val, test, cfg)
 
     t0 = time.perf_counter()
     curve = []
@@ -86,10 +95,12 @@ def main() -> None:
             f.write(f"{s}\t{l:.5f}\n")
 
     # Sample a grid from the trained EMA weights.
-    samples = model.generate_samples(trainer.state.ema_params,
-                                     jax.random.PRNGKey(123), 64)
-    grid_path = os.path.join(args.out, "samples_final.png")
-    save_image(np.asarray(samples), grid_path)
+    grid_path = None
+    if not args.skip_sampling:
+        samples = model.generate_samples(trainer.state.ema_params,
+                                         jax.random.PRNGKey(123), 64)
+        grid_path = os.path.join(args.out, "samples_final.png")
+        save_image(np.asarray(samples), grid_path)
 
     first, last = curve[0][1], curve[-1][1]
     print(json.dumps({
