@@ -126,7 +126,8 @@ class CelebADataset(ArrayImageDataset):
     (reference `celeba_loader.py:21-178`)."""
 
     def _build_splits(self) -> Dict[str, np.ndarray]:
-        data, split_ids = sources.load_celeba(self.data_dir)
+        data, split_ids = sources.load_celeba(self.data_dir,
+                                              image_size=self.image_size)
         if isinstance(data, np.ndarray):
             imgs = data
             if split_ids is None:

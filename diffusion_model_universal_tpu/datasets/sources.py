@@ -81,19 +81,34 @@ def load_cifar10(data_dir: str) -> Tuple[np.ndarray, np.ndarray]:
     return train, test
 
 
-def load_celeba(data_dir: str):
+def load_celeba(data_dir: str, image_size: int = 64):
     """CelebA images + official split file.
 
     Returns (paths or preloaded array, split_ids). CelebA is ~200k JPEGs —
     too large to hold decoded fp32 in host RAM, so we return the aligned
-    uint8 array only if a prebuilt ``celeba_64.npz`` cache exists; otherwise
-    decode lazily from ``img_align_celeba/`` via PIL at iteration time.
+    uint8 array only if a prebuilt cache exists (``celeba_{image_size}.npz``
+    from `scripts/build_celeba_cache.py`, with any other ``celeba_*.npz``
+    as a fallback — the static pipeline resizes to the configured size);
+    otherwise decode from ``img_align_celeba/`` via the threaded ingest.
     """
     root = Path(data_dir)
-    cache = root / "celeba_64.npz"
-    if cache.exists():
-        with np.load(cache) as z:
-            return z["images"], z.get("splits")
+    # Exact-size cache first; else the smallest cache ≥ image_size
+    # (downscaling is lossless-enough; upscaling a smaller cache would
+    # silently degrade the data, so those are ignored).
+    candidates = [root / f"celeba_{image_size}.npz"]
+    sized = []
+    for p in root.glob("celeba_*.npz"):
+        try:
+            size = int(p.stem.split("_")[-1])
+        except ValueError:
+            continue
+        if size >= image_size:
+            sized.append((size, p))
+    candidates += [p for _, p in sorted(sized)]
+    for cache in candidates:
+        if cache.exists():
+            with np.load(cache) as z:
+                return z["images"], z.get("splits")
     img_dir = None
     for candidate in (root / "img_align_celeba",
                       root / "celeba" / "img_align_celeba"):

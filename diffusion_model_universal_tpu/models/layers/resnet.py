@@ -71,10 +71,14 @@ class ResidualBlock(nn.Module):
                  deterministic: bool = True) -> Array:
         in_channels = x.shape[-1]
         # use_bias=False: every conv here feeds (through at most a residual
-        # add) directly into a GroupNorm whose per-channel β supplies the
-        # same capacity — keeping the bias costs a full-activation
-        # reduce_sum per conv in the backward (profiled at ~10% of the
-        # round-1 train step) for a redundant parameter.
+        # add) into a GroupNorm. A pre-norm per-channel bias is NOT exactly
+        # absorbed by GN's β (it shifts group statistics when it varies
+        # within a group), so this is a deliberate architecture choice, not
+        # a free identity: the standard norm-precedes-conv-bias convention
+        # trades that small expressivity delta for ~10% of the train step
+        # (each bias costs a full-activation reduce_sum in the backward).
+        # Reference-weight porting is unaffected — the param trees already
+        # differ (NHWC flax vs NCHW torch).
         conv = lambda name, init=None: nn.Conv(
             self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
             use_bias=False,

@@ -122,7 +122,14 @@ def main(argv=None) -> int:
             if bench_cfg.get("save_samples", False):
                 sample_dir = str(out_dir / bench_cfg.get(
                     "sample_dir", "benchmark_samples"))
-            results = bench.evaluate(model, trainer.state.params,
+            # EMA weights by default — the deployment surface (and what
+            # sample grids use); benchmark.use_ema: false reverts to raw
+            # params (the reference evaluates its raw model,
+            # `scripts/train.py:134-156`).
+            eval_params = (trainer.state.ema_params
+                           if bench_cfg.get("use_ema", True)
+                           else trainer.state.params)
+            results = bench.evaluate(model, eval_params,
                                      test_loader, sample_dir=sample_dir)
             with open(out_dir / bench_cfg.get(
                     "results_file", "benchmark_results.json"), "w") as f:

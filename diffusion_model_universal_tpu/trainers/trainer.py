@@ -256,12 +256,16 @@ class DiffusionTrainer:
         ``training.scan_steps`` > 1 to amortize the per-dispatch
         host→device round trip (milliseconds under a tunneled runtime)
         across K steps."""
-        stacked = jnp.stack([jnp.asarray(b) for b in chunk])
         if jax.process_count() > 1:
+            # Stack host-side: the global array is assembled from each
+            # process's LOCAL shard (a device-side stack would round-trip
+            # already-device-resident batches device→host→device).
             stacked = jax.make_array_from_process_local_data(
                 NamedSharding(self.mesh,
                               P(None, *self._batch_sharding.spec)),
-                np.asarray(stacked))
+                np.stack([np.asarray(b) for b in chunk]))
+        else:
+            stacked = jnp.stack([jnp.asarray(b) for b in chunk])
         return self.train_step_scan(state, stacked,
                                     jnp.asarray(step, jnp.int32))
 
@@ -302,10 +306,11 @@ class DiffusionTrainer:
                         epoch_losses.append(losses)
                         step += len(chunk)
                         chunk = []
+                        # Fire once per log_interval crossing — same
+                        # semantics as the single-step path's
+                        # `step % log_interval == 0` at chunk granularity.
                         if self.is_main and \
-                                (step // self.scan_steps) \
-                                % max(self.log_interval
-                                      // self.scan_steps, 1) == 0:
+                                step % self.log_interval < self.scan_steps:
                             self.logger.log({
                                 "train/loss": float(jnp.mean(losses)),
                                 "train/learning_rate":
@@ -325,6 +330,14 @@ class DiffusionTrainer:
                             self._step_key(step))
                         epoch_losses.append(metrics["loss"])
                         step += 1
+                        if self.val_interval and \
+                                step % self.val_interval == 0:
+                            self.state = state
+                            val_loss = self.validate()
+                            self.logger.log({"val/loss": val_loss}, step)
+                            if val_loss < self.best_val_loss:
+                                self.best_val_loss = val_loss
+                                self.save_checkpoint("best_model", epoch)
                     batches = ()  # consumed
 
                 for batch in batches:
@@ -402,6 +415,12 @@ class DiffusionTrainer:
                                  epoch)
             raise
         self.state = state
+        # Advance the epoch cursor so repeated train(k) calls continue
+        # with FRESH shuffle orders and augmentation streams — without
+        # this, a per-epoch driver loop (e.g. scripts/train_demo.py)
+        # re-seeds every epoch from (seed, epoch=0) and trains on the
+        # identical batch sequence forever.
+        self.start_epoch += num_epochs
         return history
 
     # ------------------------------------------------------------------

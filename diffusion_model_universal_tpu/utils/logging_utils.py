@@ -162,10 +162,14 @@ class MetricLogger:
                         x, optax.ScaleByAdamState)):
                 if isinstance(s, optax.ScaleByAdamState):
                     def _mean(tree):
+                        # Sum per-leaf ON DEVICE, one host sync total —
+                        # float() per leaf would cost 2 round trips per
+                        # parameter tensor (~ms each under a tunnel).
                         leaves = jax.tree_util.tree_leaves(tree)
-                        total = sum(float(jnp.sum(l)) for l in leaves)
+                        total = sum((jnp.sum(l) for l in leaves),
+                                    jnp.zeros((), jnp.float32))
                         count = sum(l.size for l in leaves)
-                        return total / max(count, 1)
+                        return float(total) / max(count, 1)
                     out["optimizer/exp_avg_mean"] = _mean(s.mu)
                     out["optimizer/exp_avg_sq_mean"] = _mean(s.nu)
                     break

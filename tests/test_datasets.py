@@ -296,9 +296,11 @@ def test_celeba_cache_builder_script(tmp_path):
     with np.load(tmp_path / "celeba_32.npz") as z:
         assert z["images"].shape == (12, 32, 32, 3)
         assert z["splits"].shape == (12,)
-    # load_celeba now prefers the cache (array fast-path).
+    # load_celeba now prefers the cache (array fast-path), both at the
+    # exact size and via the any-size fallback (resized downstream).
     from diffusion_model_universal_tpu.datasets import sources
-    data, splits = sources.load_celeba(str(tmp_path))
-    # (cache name is size-specific; celeba_64 preferred — absent here, so
-    # the JPEG path is still returned for size-64 consumers)
-    assert isinstance(data, list) or isinstance(data, np.ndarray)
+    data, splits = sources.load_celeba(str(tmp_path), image_size=32)
+    assert isinstance(data, np.ndarray) and data.shape[1:] == (32, 32, 3)
+    # A larger request must NOT upscale the 32px cache — JPEG path again.
+    data64, _ = sources.load_celeba(str(tmp_path), image_size=64)
+    assert isinstance(data64, list)

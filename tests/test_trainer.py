@@ -95,11 +95,32 @@ def test_ema_tracks_params(trainer):
 
 def test_full_train_epoch_and_history(trainer):
     step_before = int(trainer.state.step)
+    epoch_before = trainer.start_epoch
     history = trainer.train(1)
     assert "train_loss" in history
     assert np.isfinite(history["train_loss"])
     assert (int(trainer.state.step) - step_before
             == len(trainer.train_loader))
+    # Repeated train(k) calls must advance the epoch cursor so each epoch
+    # gets a fresh shuffle/augmentation stream (set_epoch is seeded by it).
+    assert trainer.start_epoch == epoch_before + 1
+
+
+def test_repeated_train_calls_use_fresh_epoch_shuffles(trainer):
+    seen_epochs = []
+    orig = trainer.train_loader.set_epoch
+
+    def spy(e):
+        seen_epochs.append(e)
+        orig(e)
+
+    trainer.train_loader.set_epoch = spy
+    try:
+        trainer.train(1)
+        trainer.train(1)
+    finally:
+        trainer.train_loader.set_epoch = orig
+    assert len(seen_epochs) == 2 and seen_epochs[1] == seen_epochs[0] + 1
 
 
 def test_gradient_and_optimizer_logging_wired(trainer):
