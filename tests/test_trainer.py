@@ -281,3 +281,40 @@ def test_scan_steps_matches_single_step_path(tmp_path, monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     tr_scan.cleanup()
     tr_single.cleanup()
+
+
+@pytest.mark.parametrize("family", ["ddim", "score_based", "energy_based"])
+def test_family_trainers_step_and_sample(tmp_path, family):
+    """Every family trainer constructs, takes steps, and produces a sample
+    grid through its own generate_samples override (reference thin
+    subclasses, `trainers/{ddim,score_based,energy_based}_trainer.py`)."""
+    from diffusion_model_universal_tpu.models import MODEL_REGISTRY
+
+    model_cfg = {
+        "num_timesteps": 8, "image_size": 32, "in_channels": 3,
+        "model_channels": 8, "compute_dtype": "float32",
+        "use_pallas": False, "remat": False,
+        "loss_config": {"use_time_weighting": False},
+    }
+    if family == "ddim":
+        model_cfg.update(ddim_sampling_steps=4, eta=0.0)
+    if family == "score_based":
+        model_cfg.update(num_scales=8, langevin_steps=2, sigma_max=2.0)
+    if family == "energy_based":
+        model_cfg.update(langevin_steps=2, model_channels=8)
+    cfg = _tiny_config(tmp_path)
+    cfg["model_name"] = family
+    cfg["data"]["num_samples"] = 64
+
+    train, val, test = get_dataset(cfg)
+    model = MODEL_REGISTRY[family](model_cfg)
+    tr = TRAINER_REGISTRY[family](model, train, val, test, cfg)
+    batch = next(iter(train))
+    for i in range(2):
+        metrics = tr.step(batch)
+    assert np.isfinite(float(metrics["loss"]))
+    out = tr.generate_samples(0, num_samples=2)
+    assert out is not None and out.endswith(".png")
+    import os
+    assert os.path.exists(out)
+    tr.cleanup()
