@@ -87,18 +87,25 @@ def shuffle_indices(n: int, seed: int) -> np.ndarray:
     return out
 
 
+# Below this gather size, numpy fancy indexing beats the threaded gather
+# (thread-dispatch overhead; measured crossover ≈ 30-70 MB on this host:
+# 25 MB → numpy 0.75× faster, 73 MB → native 1.74× faster).
+_GATHER_NATIVE_MIN_BYTES = 32 * 1024 * 1024
+
+
 def gather_batch(data: np.ndarray, indices: np.ndarray,
                  flip: Optional[np.ndarray] = None,
                  out: Optional[np.ndarray] = None,
                  num_threads: int = 8) -> np.ndarray:
-    """Threaded gather of ``data[indices]`` (uint8 NHWC), optional
-    per-sample horizontal flip, into ``out`` (allocated if None)."""
+    """Gather of ``data[indices]`` (uint8 NHWC), optional per-sample
+    horizontal flip, into ``out`` (allocated if None). Uses the threaded
+    C++ path for large gathers and numpy below the crossover size."""
     lib = _load()
     b = len(indices)
     _, h, w, c = data.shape
     if out is None:
         out = np.empty((b, h, w, c), np.uint8)
-    if lib is None:
+    if lib is None or b * h * w * c < _GATHER_NATIVE_MIN_BYTES:
         batch = data[indices]
         if flip is not None:
             batch = np.where(flip[:, None, None, None] != 0,
