@@ -178,8 +178,10 @@ class DiffusionTrainer:
         scan_batch_sharding = NamedSharding(
             self.mesh, P(None, *self._batch_sharding.spec))
         repl = NamedSharding(self.mesh, P())
+        # The stacked batch is built fresh per chunk and never reused —
+        # donate it so XLA can recycle the ~K·B·H·W·C buffer in place.
         self.train_step_scan = jax.jit(
-            train_step_scan, donate_argnums=(0,),
+            train_step_scan, donate_argnums=(0, 1),
             in_shardings=(self._state_sharding, scan_batch_sharding, repl),
             out_shardings=(self._state_sharding, None))
         self.scan_steps = int(self.training_cfg.get("scan_steps", 1))
