@@ -50,14 +50,26 @@ def host_center_crop(images: np.ndarray, size: int) -> np.ndarray:
     return images[:, top:top + size, left:left + size, :]
 
 
-def host_resize(images: np.ndarray, size: int) -> np.ndarray:
-    """Bilinear-resize uint8 NHWC images (batched, on the CPU backend)."""
+def host_resize(images: np.ndarray, size: int,
+                chunk: int = 4096) -> np.ndarray:
+    """Bilinear-resize uint8 NHWC images (batched, on the CPU backend).
+
+    Chunked: a one-shot f32 upcast of a full CelebA-sized split
+    (~160k × 128² × 3 × 4B ≈ 30 GB) would OOM the host; each chunk stays
+    ≤ a few hundred MB regardless of dataset size.
+    """
     if images.shape[1] == size and images.shape[2] == size:
         return images
-    out = jax.image.resize(
-        jnp.asarray(images, jnp.float32),
-        (images.shape[0], size, size, images.shape[3]), method="bilinear")
-    return np.asarray(jnp.clip(jnp.round(out), 0, 255), np.uint8)
+    n, _, _, c = images.shape
+    out = np.empty((n, size, size, c), np.uint8)
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        r = jax.image.resize(
+            jnp.asarray(images[start:end], jnp.float32),
+            (end - start, size, size, c), method="bilinear")
+        out[start:end] = np.asarray(jnp.clip(jnp.round(r), 0, 255),
+                                    np.uint8)
+    return out
 
 
 def apply_static_transforms(images: np.ndarray,

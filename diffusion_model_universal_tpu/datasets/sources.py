@@ -95,7 +95,6 @@ def load_celeba(data_dir: str, image_size: int = 64):
     # Exact-size cache first; else the smallest cache ≥ image_size
     # (downscaling is lossless-enough; upscaling a smaller cache would
     # silently degrade the data, so those are ignored).
-    candidates = [root / f"celeba_{image_size}.npz"]
     sized = []
     for p in root.glob("celeba_*.npz"):
         try:
@@ -103,12 +102,11 @@ def load_celeba(data_dir: str, image_size: int = 64):
         except ValueError:
             continue
         if size >= image_size:
-            sized.append((size, p))
-    candidates += [p for _, p in sorted(sized)]
-    for cache in candidates:
-        if cache.exists():
-            with np.load(cache) as z:
-                return z["images"], z.get("splits")
+            # Exact size sorts ahead of any larger cache.
+            sized.append((size != image_size, size, p))
+    for _, _, cache in sorted(sized):
+        with np.load(cache) as z:
+            return z["images"], z.get("splits")
     img_dir = None
     for candidate in (root / "img_align_celeba",
                       root / "celeba" / "img_align_celeba"):

@@ -122,10 +122,11 @@ def main(argv=None) -> int:
             if bench_cfg.get("save_samples", False):
                 sample_dir = str(out_dir / bench_cfg.get(
                     "sample_dir", "benchmark_samples"))
-            # EMA weights by default — the deployment surface (and what
-            # sample grids use); benchmark.use_ema: false reverts to raw
-            # params (the reference evaluates its raw model,
-            # `scripts/train.py:134-156`).
+            # EMA weights by default — the deployment surface (what
+            # `generate.py --ema` and the demo grids sample from; the
+            # training-time epoch grids default to raw params);
+            # benchmark.use_ema: false reverts to raw params (the
+            # reference evaluates its raw model, `scripts/train.py:134-156`).
             eval_params = (trainer.state.ema_params
                            if bench_cfg.get("use_ema", True)
                            else trainer.state.params)

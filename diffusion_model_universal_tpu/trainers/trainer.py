@@ -320,26 +320,22 @@ class DiffusionTrainer:
                             }, step)
                         if self.val_interval and \
                                 step % self.val_interval < self.scan_steps:
-                            self.state = state
-                            val_loss = self.validate()
-                            self.logger.log({"val/loss": val_loss}, step)
-                            if val_loss < self.best_val_loss:
-                                self.best_val_loss = val_loss
-                                self.save_checkpoint("best_model", epoch)
+                            self._validate_and_save_best(state, step, epoch)
                     for batch in chunk:  # ragged tail → single steps
                         state, metrics = self.train_step(
                             state, self._global_batch(batch),
                             self._step_key(step))
                         epoch_losses.append(metrics["loss"])
+                        if self.is_main and step % self.log_interval == 0:
+                            self.logger.log({
+                                "train/loss": float(metrics["loss"]),
+                                "train/learning_rate":
+                                    float(self.lr_schedule(step)),
+                            }, step)
                         step += 1
                         if self.val_interval and \
                                 step % self.val_interval == 0:
-                            self.state = state
-                            val_loss = self.validate()
-                            self.logger.log({"val/loss": val_loss}, step)
-                            if val_loss < self.best_val_loss:
-                                self.best_val_loss = val_loss
-                                self.save_checkpoint("best_model", epoch)
+                            self._validate_and_save_best(state, step, epoch)
                     batches = ()  # consumed
 
                 for batch in batches:
@@ -384,12 +380,7 @@ class DiffusionTrainer:
 
                     step += 1
                     if self.val_interval and step % self.val_interval == 0:
-                        self.state = state
-                        val_loss = self.validate()
-                        self.logger.log({"val/loss": val_loss}, step)
-                        if val_loss < self.best_val_loss:
-                            self.best_val_loss = val_loss
-                            self.save_checkpoint("best_model", epoch)
+                        self._validate_and_save_best(state, step, epoch)
 
                 self.state = state
                 if epoch_losses:
@@ -424,6 +415,18 @@ class DiffusionTrainer:
         # identical batch sequence forever.
         self.start_epoch += num_epochs
         return history
+
+    # ------------------------------------------------------------------
+    def _validate_and_save_best(self, state, step: int, epoch: int) -> None:
+        """Mid-epoch validation + best-model save (reference
+        `ddpm_trainer.py:604-621`, with the D12 best-save fix). Shared by
+        the single-step, scan-chunk, and ragged-tail paths."""
+        self.state = state
+        val_loss = self.validate()
+        self.logger.log({"val/loss": val_loss}, step)
+        if val_loss < self.best_val_loss:
+            self.best_val_loss = val_loss
+            self.save_checkpoint("best_model", epoch)
 
     # ------------------------------------------------------------------
     def _run_eval(self, loader: Iterable, salt: int) -> float:

@@ -11,9 +11,9 @@ Weights (this environment has zero network egress, so they must be
 provisioned offline):
 
 1. Drop torchvision's ``inception_v3_google-*.pth`` state_dict anywhere
-   and run ``python scripts/convert_inception.py <pth> <npz>`` (torch is
-   only needed for the conversion, not at benchmark time), or produce the
-   ``.npz`` elsewhere and copy it in.
+   and run ``python scripts/convert_weights.py inception <pth> <npz>``
+   (torch is only needed for the conversion, not at benchmark time), or
+   produce the ``.npz`` elsewhere and copy it in.
 2. Point ``DMU_INCEPTION_WEIGHTS=/path/to/inception_v3.npz`` (or pass
    ``weights_path=``). ``utils.benchmarks.make_extractor(use_inception=True)``
    then computes literature-comparable FID/IS.

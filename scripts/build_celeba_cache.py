@@ -34,9 +34,21 @@ def main() -> None:
 
     from diffusion_model_universal_tpu.datasets import sources
 
-    data, split_ids = sources.load_celeba(args.data_dir)
+    data, split_ids = sources.load_celeba(args.data_dir,
+                                          image_size=args.size)
+    if isinstance(data, np.ndarray) and data.shape[1] == args.size:
+        print(f"celeba_{args.size} cache already present; nothing to do")
+        return
     if isinstance(data, np.ndarray):
-        print("celeba npz cache already present; nothing to do")
+        # A larger cache was found — downscale it instead of re-decoding.
+        from diffusion_model_universal_tpu.datasets.pipeline import \
+            host_resize
+        t0 = time.perf_counter()
+        images = host_resize(data, args.size)
+        out = os.path.join(args.data_dir, f"celeba_{args.size}.npz")
+        np.savez(out, images=images, splits=split_ids)
+        print(f"downscaled existing cache {data.shape[1]}->{args.size} in "
+              f"{time.perf_counter()-t0:.1f}s -> {out}")
         return
     paths = data
     t0 = time.perf_counter()

@@ -304,3 +304,37 @@ def test_celeba_cache_builder_script(tmp_path):
     # A larger request must NOT upscale the 32px cache — JPEG path again.
     data64, _ = sources.load_celeba(str(tmp_path), image_size=64)
     assert isinstance(data64, list)
+
+
+def test_celeba_larger_cache_downscales_chunked(tmp_path):
+    """A larger cache (celeba_128) serves a 64px request via the CHUNKED
+    host resize (no one-shot f32 blow-up), preferring exact size when
+    both exist."""
+    from diffusion_model_universal_tpu.datasets import sources
+    from diffusion_model_universal_tpu.datasets.registry import CelebADataset
+    rng = np.random.default_rng(1)
+    imgs128 = rng.integers(0, 255, (12, 128, 128, 3), np.uint8)
+    splits = np.array([0] * 8 + [1, 1, 2, 2], np.int32)
+    np.savez(tmp_path / "celeba_128.npz", images=imgs128, splits=splits)
+
+    data, s = sources.load_celeba(str(tmp_path), image_size=64)
+    assert data.shape == (12, 128, 128, 3)  # fallback hit
+    ds = CelebADataset(data_dir=str(tmp_path), image_size=64,
+                       transforms={"train": [], "eval": []})
+    assert ds.train_dataset.shape == (8, 64, 64, 3)
+
+    # Exact-size cache wins over the larger one.
+    imgs64 = rng.integers(0, 255, (12, 64, 64, 3), np.uint8)
+    np.savez(tmp_path / "celeba_64.npz", images=imgs64, splits=splits)
+    data2, _ = sources.load_celeba(str(tmp_path), image_size=64)
+    np.testing.assert_array_equal(data2, imgs64)
+
+
+def test_host_resize_chunked_matches_oneshot():
+    from diffusion_model_universal_tpu.datasets.pipeline import host_resize
+    imgs = np.random.default_rng(2).integers(0, 255, (10, 16, 16, 3),
+                                             np.uint8)
+    a = host_resize(imgs, 8, chunk=3)   # forces 4 chunks
+    b = host_resize(imgs, 8, chunk=64)  # one chunk
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (10, 8, 8, 3)
