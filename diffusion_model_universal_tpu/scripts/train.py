@@ -34,9 +34,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Only run evaluation on the test set")
     p.add_argument("--benchmark", action="store_true",
                    help="Run FID/IS/SSIM/PSNR benchmarks after training")
-    p.add_argument("--num_devices", type=int, default=None,
+    p.add_argument("--num_devices", "--num_gpus", type=int, default=None,
+                   dest="num_devices",
                    help="Restrict the mesh to the first N local devices "
-                        "(replaces the reference's --num_gpus)")
+                        "(--num_gpus is the reference's spelling, "
+                        "`scripts/train.py:219`, kept as a drop-in alias)")
     p.add_argument("--multihost", action="store_true",
                    help="Call jax.distributed.initialize() for multi-host")
     p.add_argument("--seed", type=int, default=0)

@@ -118,6 +118,12 @@ def test_argparser_surface():
     with pytest.raises(SystemExit):
         tp.parse_args(["--config", "c.yaml", "--model_type", "bogus"])
 
+    # The reference's --num_gpus spelling (train.py:219) is a drop-in
+    # alias for --num_devices.
+    args = tp.parse_args(["--config", "c.yaml", "--model_type", "ddpm",
+                          "--num_gpus", "4"])
+    assert args.num_devices == 4
+
 
 @pytest.mark.slow
 def test_eval_only_benchmark_cli(tmp_path):
