@@ -73,9 +73,15 @@ def make_optimizer(training_cfg: Dict[str, Any], steps_per_epoch: int,
     schedule = make_lr_schedule(training_cfg, steps_per_epoch, num_epochs)
     b1 = float(training_cfg.get("beta1", 0.9))
     b2 = float(training_cfg.get("beta2", 0.999))
+    # Optional bf16 storage for Adam's first moment: halves mu's HBM
+    # read+write per step. The first moment is a smoothed gradient whose
+    # bf16 rounding is well inside gradient noise (standard practice in
+    # large-scale JAX training); the second moment stays f32 (it feeds a
+    # rsqrt, where precision matters).
+    mu_dtype = training_cfg.get("adam_mu_dtype") or None
     chain = []
     grad_clip = training_cfg.get("grad_clip")
     if grad_clip:
         chain.append(optax.clip_by_global_norm(float(grad_clip)))
-    chain.append(optax.adam(schedule, b1=b1, b2=b2))
+    chain.append(optax.adam(schedule, b1=b1, b2=b2, mu_dtype=mu_dtype))
     return optax.chain(*chain), schedule

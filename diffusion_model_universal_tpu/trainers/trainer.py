@@ -84,6 +84,13 @@ class DiffusionTrainer:
         self.checkpoint_interval = int(
             self.training_cfg.get("checkpoint_interval", 10))
         self.ema_decay = float(self.training_cfg.get("ema_decay", 0.9999))
+        # EMA storage dtype. Default f32: at decay 0.9999 the per-step EMA
+        # increment is ~1e-4·(p−e), far below bf16's ~3 decimal digits —
+        # bf16 storage would round most updates to zero. Offered as a knob
+        # ("bfloat16") for short-decay configs where the HBM saving is
+        # worth it; the update always COMPUTES in f32.
+        self.ema_dtype = jnp.dtype(
+            self.training_cfg.get("ema_dtype", "float32"))
         self.log_interval = int(
             (self.config.get("logging", {}) or {}).get("log_interval", 1))
         # tqdm progress bar on the main process (reference shows tqdm on
@@ -111,8 +118,11 @@ class DiffusionTrainer:
         opt_state = jax.device_put(opt_state, o_shard)
         repl = NamedSharding(self.mesh, P())
         # EMA starts as a COPY of params (sharing buffers would make the
-        # donated train step try to donate the same buffer twice).
-        ema_params = jax.tree_util.tree_map(jnp.copy, params)
+        # donated train step try to donate the same buffer twice;
+        # `jnp.array(copy=True)` keeps that guarantee when ema_dtype ==
+        # param dtype, where `astype` would alias).
+        ema_params = jax.tree_util.tree_map(
+            lambda p: jnp.array(p, dtype=self.ema_dtype, copy=True), params)
         state = TrainState(params=params, ema_params=ema_params,
                            opt_state=opt_state,
                            step=jax.device_put(jnp.zeros((), jnp.int32),
@@ -130,8 +140,11 @@ class DiffusionTrainer:
                 grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             d = self.ema_decay
+            ema_dt = self.ema_dtype
             ema = jax.tree_util.tree_map(
-                lambda e, p: e * d + (1.0 - d) * p, state.ema_params, params)
+                lambda e, p: (e.astype(jnp.float32) * d
+                              + (1.0 - d) * p).astype(ema_dt),
+                state.ema_params, params)
             new_state = TrainState(params=params, ema_params=ema,
                                    opt_state=opt_state, step=state.step + 1)
             # All-scalar metrics pytree: computed on-device every step

@@ -176,6 +176,33 @@ def test_checkpoint_roundtrip(tmp_path):
     tr2.cleanup()
 
 
+def test_low_precision_state_dtypes(tmp_path):
+    """`training.adam_mu_dtype` / `training.ema_dtype` store Adam's first
+    moment / the EMA in bf16 (HBM-traffic knobs); a step runs finite and
+    the stored dtypes honor the config. Default path stays f32 (covered by
+    every other trainer test)."""
+    cfg = _tiny_config(tmp_path, training={
+        "adam_mu_dtype": "bfloat16", "ema_dtype": "bfloat16",
+        "ema_decay": 0.5})
+    train, val, test = get_dataset(cfg)
+    tr = DDPMTrainer(DDPM(cfg["model_config"]), train, val, test, cfg)
+    metrics = tr.step(next(iter(train)))
+    assert np.isfinite(float(metrics["loss"]))
+    ema_leaf = jax.tree_util.tree_leaves(tr.state.ema_params)[0]
+    assert ema_leaf.dtype == jnp.bfloat16
+    mu_leaves = [l for l in jax.tree_util.tree_leaves(tr.state.opt_state)
+                 if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mu_leaves, "no bf16 leaves in opt_state — mu_dtype not applied"
+    # The bf16 EMA actually updated: with decay 0.5 it sits between the
+    # initial and current params, so it can equal neither (lr is big
+    # enough that the step moves params well beyond bf16 resolution).
+    p1 = jax.tree_util.tree_leaves(tr.state.params)[0]
+    ema_f32 = np.asarray(ema_leaf, np.float32)
+    assert not np.array_equal(ema_f32, np.asarray(p1, np.float32))
+    assert np.isfinite(ema_f32).all()
+    tr.cleanup()
+
+
 def test_emergency_checkpoint_on_failure(tmp_path):
     cfg = _tiny_config(tmp_path)
     train, val, test = get_dataset(cfg)
