@@ -110,10 +110,12 @@ def bench_training(peak: float) -> None:
     from diffusion_model_universal_tpu.models import DDPM
     from diffusion_model_universal_tpu.trainers import DDPMTrainer
 
-    # B=512 beats B=256 by ~9% since the GN layout fix (BENCH_NOTES.md);
-    # the scan path hides the larger per-dispatch host gap at this size.
-    batch_size = 512
-    scan_k = 8
+    # Batch-size sweep (BENCH_NOTES.md): 256→512→1024→2048 keeps gaining
+    # (fixed Adam/EMA + dispatch cost amortized over more images; conv
+    # efficiency holds) and 4096 regresses. B=2048, K=4 is the measured
+    # optimum on v5e.
+    batch_size = 2048
+    scan_k = 4
     model = DDPM({
         "num_timesteps": 1000, "image_size": 32, "in_channels": 3,
         "model_channels": 128, "remat": False,
@@ -170,7 +172,7 @@ def bench_training(peak: float) -> None:
 
     print(json.dumps({
         "metric": "DDPM CIFAR-10 train throughput "
-                  "(C=128 UNet, bf16, B=512, 8-step scan)",
+                  f"(C=128 UNet, bf16, B={batch_size}, {scan_k}-step scan)",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
