@@ -49,24 +49,35 @@ class CheckpointManager:
     # -- save -------------------------------------------------------------
     def save(self, name: str, state: Dict[str, Any],
              overwrite: bool = True) -> Optional[str]:
-        """Save a state pytree as ``<dir>/<name>`` (+ config.json)."""
-        if not self.is_main:
+        """Save a state pytree as ``<dir>/<name>`` (+ config.json).
+
+        Multi-host: EVERY process must call this — Orbax coordinates the
+        distributed write internally (each host serializes the shards it
+        addresses; returning early on non-main processes would deadlock
+        process 0 at Orbax's sync barrier and lose remote shards). Only
+        host-side file bookkeeping is main-gated.
+        """
+        multiprocess = jax.process_count() > 1
+        if not self.is_main and not multiprocess:
             return None
         path = self.directory / name
         if self._ckptr is not None:
-            if path.exists() and overwrite:
-                import shutil
-                shutil.rmtree(path)
-            self._ckptr.save(path, state)
+            # `force=True` removes an existing checkpoint with Orbax's own
+            # cross-host coordination (a manual rmtree on one host would
+            # race the others' writes).
+            self._ckptr.save(path, state, force=overwrite)
             self._ckptr.wait_until_finished()
         else:  # pragma: no cover
             import pickle
+            if not self.is_main:
+                return None
             host = jax.tree_util.tree_map(np.asarray, state)
             path.mkdir(parents=True, exist_ok=True)
             with open(path / "state.pkl", "wb") as f:
                 pickle.dump(host, f)
-        with open(self.directory / "config.json", "w") as f:
-            json.dump(self.config, f, indent=2, default=str)
+        if self.is_main:
+            with open(self.directory / "config.json", "w") as f:
+                json.dump(self.config, f, indent=2, default=str)
         return str(path)
 
     # -- restore ----------------------------------------------------------
