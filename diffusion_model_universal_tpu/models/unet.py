@@ -33,6 +33,19 @@ from .layers import (AttentionDownBlock, AttentionUpBlock, ConvDownBlock,
 Array = jnp.ndarray
 
 
+def _shard_activation(h: Array) -> Array:
+    """Logical sharding annotation at a stage boundary.
+
+    Resolves under ``parallel.mesh.activation_sharding_scope`` to
+    batch→"data" (DP), height→"spatial" (SP halo convs), channels→"model"
+    (TP); with no scope active it is a no-op, so single-chip programs are
+    unchanged. Height is left unsharded below 8 rows — at 4²/2²/1² feature
+    maps a spatial shard is all halo and no work.
+    """
+    names = ("batch", "height" if h.shape[1] >= 8 else None, None, "embed")
+    return nn.with_logical_constraint(h, names)
+
+
 class UNet(nn.Module):
     """Noise/score-prediction UNet.
 
@@ -100,8 +113,9 @@ class UNet(nn.Module):
             DownB(c * 4, name="down4", **common),
         ]
         skips = []
+        h = _shard_activation(h)
         for block in downs:
-            h = block(h, t_emb, deterministic)
+            h = _shard_activation(block(h, t_emb, deterministic))
             skips.append(h)
 
         h = ResidualBlock(c * 4, name="mid_res1", **common)(
@@ -109,8 +123,8 @@ class UNet(nn.Module):
         h = SelfAttentionBlock(c * 4, self.num_heads, dtype=self.dtype,
                                use_pallas=self.use_pallas,
                                name="mid_attn")(h)
-        h = ResidualBlock(c * 4, name="mid_res2", **common)(
-            h, t_emb, deterministic)
+        h = _shard_activation(ResidualBlock(c * 4, name="mid_res2", **common)(
+            h, t_emb, deterministic))
 
         ups = [
             UpB(c * 4, name="up0", **common),
@@ -122,7 +136,7 @@ class UNet(nn.Module):
         ]
         for block, skip in zip(ups, reversed(skips)):
             h = jnp.concatenate([h, skip], axis=-1)
-            h = block(h, t_emb, deterministic)
+            h = _shard_activation(block(h, t_emb, deterministic))
 
         h = GroupNormSiLU(32, use_pallas=self.use_pallas, name="out_norm")(h)
         return nn.Conv(self.out_channels, (3, 3), padding="SAME",

@@ -10,16 +10,32 @@ collectives inserted by the compiler. There is no backend code to write —
 ICI/DCN collectives are emitted by XLA from the sharding annotations.
 
 Axes:
-    "data"  — batch axis (DP). The reference implements exactly this one
-              strategy (SURVEY.md §2.8).
-    "model" — parameter/tensor axis. The reference has no TP/FSDP; we expose
-              the axis so large configs can shard parameters (FSDP-style
-              sharding of the largest weight dimension) — a capability
-              superset that costs nothing at mesh size 1.
+    "data"    — batch axis (DP). The reference implements exactly this one
+                strategy (SURVEY.md §2.8).
+    "spatial" — image-height axis (SP): the image-domain analogue of
+                sequence/context parallelism. Activations are sharded over
+                H via logical-axis constraints in the UNet; XLA inserts the
+                halo exchanges (collective-permutes) that 3×3 convs need at
+                shard edges. Useful when images are large enough that one
+                image's activations dominate HBM (e.g. big-image sampling).
+    "model"   — parameter/tensor axis. The reference has no TP/FSDP; we
+                expose the axis so large configs can shard parameters
+                (FSDP-style sharding of the largest weight dimension) AND
+                shard activation channels (true tensor parallelism via the
+                "embed" logical axis) — a capability superset that costs
+                nothing at mesh size 1.
+
+Tensor/spatial parallelism is driven by *logical axis rules*
+(:data:`LOGICAL_AXIS_RULES`): the UNet annotates activations with logical
+names ("batch", "height", "embed"); under :func:`activation_sharding_scope`
+those resolve to mesh axes and XLA's SPMD partitioner inserts the
+collectives. With no scope active the annotations are no-ops, so the
+single-chip path compiles to the identical program.
 """
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Optional, Sequence
 
 import jax
@@ -27,26 +43,64 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 MODEL_AXIS = "model"
+
+# logical activation axis → mesh axis. "width" is deliberately unmapped
+# (one sharded spatial dim is enough; two would square the halo traffic).
+LOGICAL_AXIS_RULES = (
+    ("batch", DATA_AXIS),
+    ("height", SPATIAL_AXIS),
+    ("embed", MODEL_AXIS),
+)
 
 
 def make_mesh(devices: Optional[Sequence[Any]] = None,
               data_parallel: Optional[int] = None,
-              model_parallel: int = 1) -> Mesh:
-    """Build a 2-D ("data", "model") mesh over the given devices.
+              model_parallel: int = 1,
+              spatial_parallel: int = 1) -> Mesh:
+    """Build a 3-D ("data", "spatial", "model") mesh over the devices.
 
     Defaults to all devices on the data axis — the DP layout matching the
     reference's one-process-per-GPU DDP (`scripts/train.py:225-232`).
+    ``model_parallel``/``spatial_parallel`` carve devices off for tensor /
+    spatial parallelism (see module docstring).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data_parallel is None:
-        data_parallel = n // model_parallel
-    if data_parallel * model_parallel != n:
+        data_parallel = n // (model_parallel * spatial_parallel)
+    if data_parallel * model_parallel * spatial_parallel != n:
         raise ValueError(
-            f"mesh {data_parallel}x{model_parallel} != {n} devices")
-    arr = np.asarray(devices).reshape(data_parallel, model_parallel)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+            f"mesh {data_parallel}x{spatial_parallel}x{model_parallel} "
+            f"!= {n} devices")
+    arr = np.asarray(devices).reshape(
+        data_parallel, spatial_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS, MODEL_AXIS))
+
+
+def uses_activation_sharding(mesh: Mesh) -> bool:
+    """True when the mesh actually shards activations (TP/SP axes > 1)."""
+    return (mesh.shape.get(MODEL_AXIS, 1) > 1
+            or mesh.shape.get(SPATIAL_AXIS, 1) > 1)
+
+
+@contextlib.contextmanager
+def activation_sharding_scope(mesh: Mesh):
+    """Scope under which the model's logical activation annotations
+    resolve against ``mesh`` (flax ``logical_axis_rules`` + the concrete
+    mesh for spec-form ``with_sharding_constraint``).
+
+    Wrap BOTH trace and dispatch of jitted steps in this scope when
+    :func:`uses_activation_sharding` — a no-op otherwise.
+    """
+    if not uses_activation_sharding(mesh):
+        yield
+        return
+    import flax.linen as nn
+    with jax.sharding.set_mesh(mesh):
+        with nn.logical_axis_rules(LOGICAL_AXIS_RULES):
+            yield
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -65,7 +65,17 @@ def main(argv=None) -> int:
     devices = jax.devices()
     if args.num_devices:
         devices = devices[:args.num_devices]
-    mesh = make_mesh(devices)
+    # Parallelism layout from the config's `distributed` section (the
+    # reference's section only held the NCCL backend name,
+    # `configs/ddpm_config.yaml:135-137`; here it picks mesh axes):
+    #   model_parallel   — tensor-parallel factor (channels / params)
+    #   spatial_parallel — image-height sharding factor (SP)
+    # Remaining devices go to data parallelism.
+    dist_cfg = config.get("distributed", {}) or {}
+    mesh = make_mesh(devices,
+                     model_parallel=int(dist_cfg.get("model_parallel", 1)),
+                     spatial_parallel=int(
+                         dist_cfg.get("spatial_parallel", 1)))
 
     world_size = jax.process_count()
     rank = jax.process_index()

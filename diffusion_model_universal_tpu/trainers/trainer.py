@@ -43,8 +43,9 @@ from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.base import BaseDiffusionModel
-from ..parallel.mesh import (batch_sharding, is_main_process, make_mesh,
-                             param_sharding)
+from ..parallel.mesh import (activation_sharding_scope, batch_sharding,
+                             is_main_process, make_mesh, param_sharding,
+                             uses_activation_sharding)
 from ..utils.checkpoint import CheckpointManager
 from ..utils.images import frames_to_grid, save_image
 from ..utils.logging_utils import MetricLogger
@@ -159,10 +160,24 @@ class DiffusionTrainer:
                                g.astype(jnp.float32) ** 2)), grads)}
             return new_state, metrics
 
-        self.train_step = jax.jit(
+        def _scoped(fn):
+            """Run trace+dispatch of a jitted step under the activation
+            sharding scope (TP via "embed"→model, SP via "height"→spatial
+            — `parallel/mesh.py` LOGICAL_AXIS_RULES). Identity on meshes
+            without TP/SP axes, so the DP/single-chip path is unchanged."""
+            if not uses_activation_sharding(self.mesh):
+                return fn
+
+            def wrapper(*args):
+                with activation_sharding_scope(self.mesh):
+                    return fn(*args)
+
+            return wrapper
+
+        self.train_step = _scoped(jax.jit(
             train_step, donate_argnums=(0,),
             in_shardings=(self._state_sharding, self._batch_sharding, None),
-            out_shardings=(self._state_sharding, None))
+            out_shardings=(self._state_sharding, None)))
 
         # Multi-step variant: K steps in ONE dispatch via lax.scan.
         # Python-loop dispatch pays a host->device round trip per step
@@ -193,19 +208,19 @@ class DiffusionTrainer:
         repl = NamedSharding(self.mesh, P())
         # The stacked batch is built fresh per chunk and never reused —
         # donate it so XLA can recycle the ~K·B·H·W·C buffer in place.
-        self.train_step_scan = jax.jit(
+        self.train_step_scan = _scoped(jax.jit(
             train_step_scan, donate_argnums=(0, 1),
             in_shardings=(self._state_sharding, scan_batch_sharding, repl),
-            out_shardings=(self._state_sharding, None))
+            out_shardings=(self._state_sharding, None)))
         self.scan_steps = int(self.training_cfg.get("scan_steps", 1))
 
         def eval_step(params, batch, key):
             return model.loss_function(params, batch, key)
 
-        self.eval_step = jax.jit(
+        self.eval_step = _scoped(jax.jit(
             eval_step,
             in_shardings=(self._state_sharding.params,
-                          self._batch_sharding, None))
+                          self._batch_sharding, None)))
 
         # ---- logging / checkpointing ------------------------------------
         output_cfg = self.config.get("output", {}) or {}

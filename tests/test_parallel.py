@@ -48,9 +48,13 @@ def test_eight_devices_present():
 
 def test_mesh_shapes():
     mesh = M.make_mesh()
-    assert mesh.shape == {"data": 8, "model": 1}
+    assert mesh.shape == {"data": 8, "spatial": 1, "model": 1}
+    assert not M.uses_activation_sharding(mesh)
     mesh2 = M.make_mesh(model_parallel=2)
-    assert mesh2.shape == {"data": 4, "model": 2}
+    assert mesh2.shape == {"data": 4, "spatial": 1, "model": 2}
+    mesh3 = M.make_mesh(model_parallel=2, spatial_parallel=2)
+    assert mesh3.shape == {"data": 2, "spatial": 2, "model": 2}
+    assert M.uses_activation_sharding(mesh3)
     with pytest.raises(ValueError):
         M.make_mesh(data_parallel=3, model_parallel=2)
 
@@ -139,6 +143,66 @@ def test_fsdp_mesh_train_step_runs(tmp_path):
                                rtol=1e-4)
     tr.cleanup()
     trr.cleanup()
+
+
+def test_tp_sp_train_step_matches_single_device(tmp_path):
+    """2×2×2 (data×spatial×model) mesh with activation sharding — true
+    tensor parallelism ("embed"→model) + spatial parallelism
+    ("height"→spatial) via the UNet's logical constraints — must compile
+    and match the single-device loss on the same global batch."""
+    cfg = _config(tmp_path)
+    loader = _loader()
+    # Fixed-order val loader (as get_dataset builds: registry.py shuffle=
+    # False for val/test) — a SHUFFLED loader advances its epoch cursor
+    # per iteration, so two validate() calls would draw different
+    # batch/key pairings and differ by eval-noise, not sharding error.
+    vload = DeviceDataLoader(loader.images, batch_size=16,
+                             augment=loader.augment, shuffle=False)
+    batch = next(iter(loader))
+    model = DDPM(dict(TINY, model_channels=16))
+
+    tr = DDPMTrainer(model, loader, vload, vload, cfg,
+                     mesh=M.make_mesh(model_parallel=2, spatial_parallel=2))
+    trr = DDPMTrainer(model, loader, vload, vload, cfg,
+                      mesh=M.make_mesh(jax.devices()[:1]))
+    # Sharded eval path first, on IDENTICAL params (after an Adam step the
+    # sign-like first update amplifies reduction-order noise — see the SGD
+    # note in test_dp_train_step_matches_single_device).
+    v, vr = tr.validate(), trr.validate()
+    np.testing.assert_allclose(v, vr, rtol=1e-4)
+    key = tr._step_key(0)
+    m = tr.step(batch, key)
+    mr = trr.step(batch, key)
+    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_allclose(float(m["loss"]), float(mr["loss"]),
+                               rtol=1e-4)
+    tr.cleanup()
+    trr.cleanup()
+
+
+def test_activation_sharding_inserts_collectives():
+    """The TP/SP annotations must be REAL: under the activation sharding
+    scope the compiled forward contains XLA collectives (channel gathers /
+    halo exchanges), and without the scope it contains none."""
+    from jax.sharding import NamedSharding
+
+    mesh = M.make_mesh(model_parallel=2, spatial_parallel=2)
+    model = DDPM(dict(TINY, model_channels=16))
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jnp.zeros((4, 32, 32, 3))
+    t = jnp.zeros((4,), jnp.int32)
+
+    f = jax.jit(model.apply,
+                in_shardings=(None,
+                              NamedSharding(mesh, P(M.DATA_AXIS)), None))
+    with M.activation_sharding_scope(mesh):
+        txt = f.lower(params, x, t).compile().as_text()
+    colls = ("all-gather", "all-reduce", "collective-permute",
+             "reduce-scatter", "all-to-all")
+    assert any(c in txt for c in colls), "TP/SP produced no collectives"
+
+    plain = jax.jit(model.apply).lower(params, x, t).compile().as_text()
+    assert not any(c in plain for c in colls)
 
 
 def test_graft_entry_dryrun():
