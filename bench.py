@@ -113,9 +113,9 @@ def bench_training(peak: float) -> None:
     # Batch-size sweep (BENCH_NOTES.md): 256→512→1024→2048 keeps gaining
     # (fixed Adam/EMA + dispatch cost amortized over more images; conv
     # efficiency holds) and 4096 regresses. B=2048, K=4 is the measured
-    # optimum on v5e.
-    batch_size = 2048
-    scan_k = 4
+    # optimum on v5e. Env overrides exist for sweeps.
+    batch_size = int(os.environ.get("DMU_BENCH_BATCH", 2048))
+    scan_k = int(os.environ.get("DMU_BENCH_SCANK", 4))
     model = DDPM({
         "num_timesteps": 1000, "image_size": 32, "in_channels": 3,
         "model_channels": 128, "remat": False,

@@ -86,6 +86,26 @@ def uses_activation_sharding(mesh: Mesh) -> bool:
 
 
 @contextlib.contextmanager
+def sampling_scope(mesh: Optional[Mesh]):
+    """Scope that distributes the jitted samplers over ``mesh``.
+
+    Samplers take (params, key) — there is no host batch to shard, so
+    unlike the train step the batch axis must come from the UNet's
+    "batch" logical annotation. Active whenever the mesh has more than
+    one device: pure-DP sample generation (the 50k-image benchmark
+    harness) parallelizes over "data" exactly like the reference's
+    per-rank generation loop would, and TP/SP axes apply as in training.
+    """
+    if mesh is None or mesh.size <= 1:
+        yield
+        return
+    import flax.linen as nn
+    with jax.sharding.set_mesh(mesh):
+        with nn.logical_axis_rules(LOGICAL_AXIS_RULES):
+            yield
+
+
+@contextlib.contextmanager
 def activation_sharding_scope(mesh: Mesh):
     """Scope under which the model's logical activation annotations
     resolve against ``mesh`` (flax ``logical_axis_rules`` + the concrete

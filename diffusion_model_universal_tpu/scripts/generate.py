@@ -36,6 +36,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ema", action="store_true",
                    help="Sample from EMA params (trainer checkpoints only)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="Restrict sampling to the first N local devices "
+                        "(default: all — generation is data-parallel)")
     p.add_argument("--grid_only", action="store_true",
                    help="Skip per-sample PNGs, save only the grid")
     return p
@@ -75,8 +78,15 @@ def main(argv=None) -> int:
     params = load_params(model, args.checkpoint, args.ema)
 
     key = jax.random.PRNGKey(args.seed)
-    samples = np.asarray(model.generate_samples(params, key,
-                                                args.num_samples))
+    # Distribute generation over all local devices (DP batch sharding
+    # via the UNet's "batch" logical axis; no-op on one device).
+    from ..parallel.mesh import make_mesh, sampling_scope
+    devices = jax.devices()
+    if args.num_devices:
+        devices = devices[:args.num_devices]
+    with sampling_scope(make_mesh(devices)):
+        samples = np.asarray(model.generate_samples(params, key,
+                                                    args.num_samples))
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     if not args.grid_only:

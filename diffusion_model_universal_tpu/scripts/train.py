@@ -126,7 +126,7 @@ def main(argv=None) -> int:
                     "batch_size",
                     config.get("training", {}).get("batch_size", 128)),
                 use_inception=bench_cfg.get("use_inception", True),
-                metrics=bench_cfg.get("metrics"))
+                metrics=bench_cfg.get("metrics"), mesh=mesh)
             out_dir = Path(config.get("output", {}).get(
                 "output_dir", "outputs"))
             out_dir.mkdir(parents=True, exist_ok=True)

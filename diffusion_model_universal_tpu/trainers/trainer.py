@@ -494,8 +494,10 @@ class DiffusionTrainer:
             return None
         params = self.state.ema_params if use_ema else self.state.params
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 99), epoch)
-        frames = self.model.generate_samples_with_intermediates(
-            params, key, num_samples)
+        from ..parallel.mesh import sampling_scope
+        with sampling_scope(self.mesh):
+            frames = self.model.generate_samples_with_intermediates(
+                params, key, num_samples)
         grid = frames_to_grid([np.asarray(f) for f in frames])
         path = self.output_dir / "samples" / f"epoch_{epoch}.png"
         path.parent.mkdir(parents=True, exist_ok=True)

@@ -239,13 +239,17 @@ class DiffusionBenchmark:
 
     def __init__(self, n_samples: int = 2000, batch_size: int = 128,
                  use_inception: bool = False, seed: int = 0,
-                 metrics: Optional[Dict[str, bool]] = None):
+                 metrics: Optional[Dict[str, bool]] = None, mesh=None):
         self.n_samples = n_samples
         self.batch_size = batch_size
         self.extractor = make_extractor(use_inception, seed)
         self.seed = seed
         self.metrics = metrics or {"fid": True, "inception_score": True,
                                    "ssim": True, "psnr": True}
+        # Optional device mesh: sample generation (the dominant cost of a
+        # 50k-sample FID run) is distributed over it — DP across "data"
+        # plus any TP/SP axes (`parallel.mesh.sampling_scope`).
+        self.mesh = mesh
 
     def evaluate(self, model, params, test_loader: Iterable,
                  sample_dir: str = None) -> Dict[str, float]:
@@ -267,7 +271,9 @@ class DiffusionBenchmark:
         while remaining > 0:
             bs = min(self.batch_size, remaining)
             key, sub = jax.random.split(key)
-            samples = model.generate_samples(params, sub, bs)
+            from ..parallel.mesh import sampling_scope
+            with sampling_scope(self.mesh):
+                samples = model.generate_samples(params, sub, bs)
             if sample_dir is not None:
                 from .images import save_image
                 save_image(np.asarray(samples),
