@@ -86,6 +86,16 @@ def uses_activation_sharding(mesh: Mesh) -> bool:
 
 
 @contextlib.contextmanager
+def _rules_scope(mesh: Mesh):
+    """Resolve the model's logical activation annotations against
+    ``mesh``: flax ``logical_axis_rules`` + the concrete mesh for
+    spec-form ``with_sharding_constraint``."""
+    import flax.linen as nn
+    with jax.sharding.set_mesh(mesh):
+        with nn.logical_axis_rules(LOGICAL_AXIS_RULES):
+            yield
+
+
 def sampling_scope(mesh: Optional[Mesh]):
     """Scope that distributes the jitted samplers over ``mesh``.
 
@@ -95,32 +105,28 @@ def sampling_scope(mesh: Optional[Mesh]):
     one device: pure-DP sample generation (the 50k-image benchmark
     harness) parallelizes over "data" exactly like the reference's
     per-rank generation loop would, and TP/SP axes apply as in training.
+
+    Callers are rank-0-gated code paths (sample grids, the benchmark
+    harness, the generate CLI — reference gates them on rank 0,
+    `ddpm_trainer.py:792-848`). Under multi-host the scope therefore
+    uses the PROCESS-LOCAL submesh: a single process launching a
+    global-mesh computation would hang waiting for hosts that never
+    dispatch it.
     """
+    if mesh is not None and jax.process_count() > 1:
+        mesh = mesh.local_mesh
     if mesh is None or mesh.size <= 1:
-        yield
-        return
-    import flax.linen as nn
-    with jax.sharding.set_mesh(mesh):
-        with nn.logical_axis_rules(LOGICAL_AXIS_RULES):
-            yield
+        return contextlib.nullcontext()
+    return _rules_scope(mesh)
 
 
-@contextlib.contextmanager
 def activation_sharding_scope(mesh: Mesh):
-    """Scope under which the model's logical activation annotations
-    resolve against ``mesh`` (flax ``logical_axis_rules`` + the concrete
-    mesh for spec-form ``with_sharding_constraint``).
-
-    Wrap BOTH trace and dispatch of jitted steps in this scope when
-    :func:`uses_activation_sharding` — a no-op otherwise.
-    """
+    """Scope for the jitted train/eval steps when
+    :func:`uses_activation_sharding` (TP/SP axes > 1) — a no-op
+    otherwise. Wrap BOTH trace and dispatch in it."""
     if not uses_activation_sharding(mesh):
-        yield
-        return
-    import flax.linen as nn
-    with jax.sharding.set_mesh(mesh):
-        with nn.logical_axis_rules(LOGICAL_AXIS_RULES):
-            yield
+        return contextlib.nullcontext()
+    return _rules_scope(mesh)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -45,7 +45,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models.base import BaseDiffusionModel
 from ..parallel.mesh import (activation_sharding_scope, batch_sharding,
                              is_main_process, make_mesh, param_sharding,
-                             uses_activation_sharding)
+                             sampling_scope, uses_activation_sharding)
 from ..utils.checkpoint import CheckpointManager
 from ..utils.images import frames_to_grid, save_image
 from ..utils.logging_utils import MetricLogger
@@ -172,6 +172,13 @@ class DiffusionTrainer:
                 with activation_sharding_scope(self.mesh):
                     return fn(*args)
 
+            # Keep the jit AOT surface usable (bench.py FLOP accounting
+            # calls train_step.lower(...).compile().cost_analysis()).
+            def lower(*args, **kwargs):
+                with activation_sharding_scope(self.mesh):
+                    return fn.lower(*args, **kwargs)
+
+            wrapper.lower = lower
             return wrapper
 
         self.train_step = _scoped(jax.jit(
@@ -494,7 +501,6 @@ class DiffusionTrainer:
             return None
         params = self.state.ema_params if use_ema else self.state.params
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 99), epoch)
-        from ..parallel.mesh import sampling_scope
         with sampling_scope(self.mesh):
             frames = self.model.generate_samples_with_intermediates(
                 params, key, num_samples)

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel.mesh import sampling_scope
+
 Array = jnp.ndarray
 
 
@@ -271,7 +273,6 @@ class DiffusionBenchmark:
         while remaining > 0:
             bs = min(self.batch_size, remaining)
             key, sub = jax.random.split(key)
-            from ..parallel.mesh import sampling_scope
             with sampling_scope(self.mesh):
                 samples = model.generate_samples(params, sub, bs)
             if sample_dir is not None:
