@@ -104,6 +104,13 @@ def main(argv=None) -> int:
         else:
             num_epochs = config.get("training", {}).get("num_epochs", 1)
             trainer.train(num_epochs - start_epoch)
+            if trainer.preempted:
+                # SIGTERM received: the resumable checkpoint is saved;
+                # exit with the conventional 128+SIGTERM code instead of
+                # running final test/benchmark on a half-trained model.
+                if is_main_process():
+                    print("Preempted: checkpoint saved, exiting")
+                return 143
             test_loss = trainer.test()
             if is_main_process():
                 print(f"Final test loss: {test_loss:.6f}")

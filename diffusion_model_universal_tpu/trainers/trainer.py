@@ -85,6 +85,14 @@ class DiffusionTrainer:
         self.checkpoint_interval = int(
             self.training_cfg.get("checkpoint_interval", 10))
         self.ema_decay = float(self.training_cfg.get("ema_decay", 0.9999))
+        # Preemption-aware checkpointing (TPU-production reality the
+        # reference lacks — its only recovery is the emergency save on
+        # exception, `ddpm_trainer.py:662-667`): while train() runs,
+        # SIGTERM sets a flag and the loop saves a resumable checkpoint
+        # at the next step boundary, then returns early.
+        self.handle_preemption = bool(
+            self.training_cfg.get("handle_preemption", True))
+        self.preempted = False
         # EMA storage dtype. Default f32: at decay 0.9999 the per-step EMA
         # increment is ~1e-4·(p−e), far below bf16's ~3 decimal digits —
         # bf16 storage would round most updates to zero. Offered as a knob
@@ -307,11 +315,41 @@ class DiffusionTrainer:
                                     jnp.asarray(step, jnp.int32))
 
     # ------------------------------------------------------------------
+    def _on_preempt_signal(self, signum, frame) -> None:
+        """SIGTERM handler active during train(): request a graceful
+        save-and-exit at the next step boundary (signal-safe: only sets
+        a flag)."""
+        self.preempted = True
+
+    def _install_preemption_handler(self):
+        """Install the SIGTERM handler; returns the previous handler to
+        restore, or None when not installed (disabled / non-main
+        thread)."""
+        if not self.handle_preemption:
+            return None
+        import signal
+        try:
+            return signal.signal(signal.SIGTERM, self._on_preempt_signal)
+        except ValueError:  # not in the main thread
+            return None
+
+    def _save_preempt_checkpoint(self, state, epoch: int,
+                                 history: Dict[str, float]):
+        """Persist a resumable checkpoint after a preemption request."""
+        self.state = state
+        self.save_checkpoint(f"checkpoint_epoch_{epoch}", epoch)
+        history["preempted"] = 1.0
+        if self.is_main:
+            self.logger.log({"train/preempted": 1.0}, int(state.step))
+
+    # ------------------------------------------------------------------
     def train(self, num_epochs: Optional[int] = None) -> Dict[str, float]:
         """Run the training loop (reference `train`, `ddpm_trainer.py:482-667`)."""
         num_epochs = num_epochs if num_epochs is not None else self.num_epochs
         state = self.state
         history: Dict[str, float] = {}
+        self.preempted = False  # fresh run, fresh flag
+        prev_handler = self._install_preemption_handler()
         # Host-side step counter: reading `state.step` back every iteration
         # would block on the in-flight device step and serialize the
         # pipeline (the big reference slowdown, `ddpm_trainer.py:529-537`).
@@ -356,6 +394,10 @@ class DiffusionTrainer:
                         if self.val_interval and \
                                 step % self.val_interval < self.scan_steps:
                             self._validate_and_save_best(state, step, epoch)
+                        if self.preempted:
+                            self._save_preempt_checkpoint(state, epoch,
+                                                          history)
+                            return history
                     for batch in chunk:  # ragged tail → single steps
                         state, metrics = self.train_step(
                             state, self._global_batch(batch),
@@ -371,6 +413,10 @@ class DiffusionTrainer:
                         if self.val_interval and \
                                 step % self.val_interval == 0:
                             self._validate_and_save_best(state, step, epoch)
+                        if self.preempted:
+                            self._save_preempt_checkpoint(state, epoch,
+                                                          history)
+                            return history
                     batches = ()  # consumed
 
                 for batch in batches:
@@ -416,6 +462,9 @@ class DiffusionTrainer:
                     step += 1
                     if self.val_interval and step % self.val_interval == 0:
                         self._validate_and_save_best(state, step, epoch)
+                    if self.preempted:
+                        self._save_preempt_checkpoint(state, epoch, history)
+                        return history
 
                 self.state = state
                 if epoch_losses:
@@ -442,6 +491,10 @@ class DiffusionTrainer:
             self.save_checkpoint(f"emergency_checkpoint_epoch_{epoch}",
                                  epoch)
             raise
+        finally:
+            if prev_handler is not None:
+                import signal
+                signal.signal(signal.SIGTERM, prev_handler)
         self.state = state
         # Advance the epoch cursor so repeated train(k) calls continue
         # with FRESH shuffle orders and augmentation streams — without

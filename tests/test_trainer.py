@@ -345,3 +345,40 @@ def test_family_trainers_step_and_sample(tmp_path, family):
     import os
     assert os.path.exists(out)
     tr.cleanup()
+
+
+def test_preemption_graceful_checkpoint(trainer):
+    """Preemption-aware checkpointing: a real SIGTERM delivered during
+    train() reaches the installed handler, and the loop saves a
+    RESUMABLE checkpoint_epoch_* at the next step boundary and returns
+    early with history['preempted'] (the reference's only recovery is
+    the on-exception emergency save, `ddpm_trainer.py:662-667`)."""
+    import os
+    import signal
+
+    orig_install = trainer._install_preemption_handler
+
+    def install_then_fire():
+        prev = orig_install()
+        assert prev is not None
+        # Deliver the real signal as soon as the handler is up — Python
+        # runs the handler on the next bytecode boundary, well before
+        # the first train step finishes.
+        os.kill(os.getpid(), signal.SIGTERM)
+        return prev
+
+    trainer._install_preemption_handler = install_then_fire
+    step0 = int(trainer.state.step)
+    try:
+        hist = trainer.train(1)
+    finally:
+        trainer._install_preemption_handler = orig_install
+    assert hist.get("preempted") == 1.0
+    assert trainer.preempted
+    assert int(trainer.state.step) == step0 + 1   # exactly one step ran
+    name = trainer.ckpt.latest_epoch_checkpoint()
+    assert name is not None and name.startswith("checkpoint_epoch_")
+    # The handler was restored on exit from train().
+    assert signal.getsignal(signal.SIGTERM) not in (
+        trainer._on_preempt_signal,)
+    trainer.preempted = False  # shared fixture hygiene
