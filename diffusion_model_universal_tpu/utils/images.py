@@ -60,6 +60,23 @@ def save_image(images: np.ndarray, path: str, nrow: Optional[int] = None,
         return str(alt)
 
 
+def to_grid_png_bytes(images: np.ndarray, nrow: Optional[int] = None,
+                      value_range=(-1.0, 1.0)) -> bytes:
+    """Encode a batch as one PNG grid, in memory (the serving path —
+    `scripts/serve.py` returns this as the HTTP response body)."""
+    arr = to_uint8(images, value_range)
+    if arr.ndim == 4:
+        arr = make_grid(arr, nrow or int(math.ceil(math.sqrt(len(arr)))))
+    if arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    import io
+
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def frames_to_grid(frames: Sequence[np.ndarray], value_range=(-1.0, 1.0)
                    ) -> np.ndarray:
     """Lay out sampler intermediates as rows: one row per sample, one column

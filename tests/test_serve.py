@@ -1,0 +1,101 @@
+"""Serving endpoint tests: the HTTP sampler server end-to-end on the
+virtual CPU mesh (a deployment surface the reference lacks — its
+pipeline stops at `scripts/generate.py` batch generation)."""
+
+import io
+import json
+import tempfile
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from diffusion_model_universal_tpu.models import DDPM
+from diffusion_model_universal_tpu.scripts.serve import (build_argparser,
+                                                         make_server)
+
+TINY = {"num_timesteps": 8, "image_size": 32, "in_channels": 3,
+        "model_channels": 8, "compute_dtype": "float32"}
+
+
+@pytest.fixture(scope="module")
+def server():
+    tmp = tempfile.mkdtemp()
+    model = DDPM(TINY)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt = f"{tmp}/model.ckpt"
+    model.save(ckpt, params)
+    cfg_path = f"{tmp}/cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"model_config": TINY}, f)
+    args = build_argparser().parse_args([
+        "--config", cfg_path, "--model_type", "ddpm",
+        "--checkpoint", ckpt, "--port", "0", "--serve_batch", "8"])
+    srv = make_server(args)
+    srv.service.warmup()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+def _url(srv, path):
+    host, port = srv.server_address[:2]
+    return f"http://{host}:{port}{path}"
+
+
+def _post(srv, body: dict):
+    req = urllib.request.Request(
+        _url(srv, "/generate"), data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as r:
+        info = json.loads(r.read())
+    assert info["status"] == "ok"
+    assert info["model"] == "ddpm"
+    assert info["serve_batch"] == 8
+    assert info["devices"] == 8
+
+
+def test_generate_png(server):
+    with _post(server, {"num_samples": 4, "seed": 1}) as r:
+        assert r.headers["Content-Type"] == "image/png"
+        body = r.read()
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_generate_npy_shape_and_determinism(server):
+    def fetch(seed):
+        with _post(server, {"num_samples": 3, "seed": seed,
+                            "format": "npy"}) as r:
+            return np.load(io.BytesIO(r.read()))
+
+    a, b, c = fetch(5), fetch(5), fetch(6)
+    assert a.shape == (3, 32, 32, 3) and a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)       # same seed → same images
+    assert np.abs(a - c).max() > 0            # different seed differs
+
+
+def test_generate_rejects_oversized_batch(server):
+    try:
+        _post(server, {"num_samples": 99})
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "serve_batch" in json.loads(e.read())["error"]
+
+
+def test_unknown_path_404(server):
+    try:
+        urllib.request.urlopen(_url(server, "/nope"), timeout=30)
+        raise AssertionError("expected HTTP 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
