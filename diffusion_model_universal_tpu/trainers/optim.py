@@ -84,4 +84,15 @@ def make_optimizer(training_cfg: Dict[str, Any], steps_per_epoch: int,
     if grad_clip:
         chain.append(optax.clip_by_global_norm(float(grad_clip)))
     chain.append(optax.adam(schedule, b1=b1, b2=b2, mu_dtype=mu_dtype))
-    return optax.chain(*chain), schedule
+    opt = optax.chain(*chain)
+    # Production guard the reference lacks: a single NaN/Inf batch (bad
+    # sample, bf16 overflow spike) permanently poisons Adam's moments and
+    # the EMA. With `skip_nonfinite_updates`, non-finite updates become
+    # no-ops (params/moments untouched) and training continues; after N
+    # CONSECUTIVE bad steps the optimizer raises the error instead of
+    # looping forever. Off by default — parity with the reference.
+    skip = training_cfg.get("skip_nonfinite_updates", 0)
+    if skip:
+        opt = optax.apply_if_finite(
+            opt, max_consecutive_errors=int(skip) if int(skip) > 1 else 100)
+    return opt, schedule

@@ -382,3 +382,34 @@ def test_preemption_graceful_checkpoint(trainer):
     assert signal.getsignal(signal.SIGTERM) not in (
         trainer._on_preempt_signal,)
     trainer.preempted = False  # shared fixture hygiene
+
+
+def test_skip_nonfinite_updates(tmp_path):
+    """`training.skip_nonfinite_updates`: a NaN batch must leave params
+    and Adam moments untouched (update skipped on-device via
+    optax.apply_if_finite) and training must continue with the next
+    good batch — a production guard the reference lacks (one bad batch
+    permanently poisons its moments/EMA)."""
+    cfg = _tiny_config(tmp_path,
+                       training={"skip_nonfinite_updates": 3})
+    train, val, test = get_dataset(cfg)
+    tr = DDPMTrainer(DDPM(cfg["model_config"]), train, val, test, cfg)
+    try:
+        good = np.asarray(next(iter(train)))
+        p0 = [np.asarray(l) for l in
+              jax.tree_util.tree_leaves(tr.state.params)]
+
+        bad = np.full_like(good, np.nan)
+        m = tr.step(jnp.asarray(bad))
+        assert not np.isfinite(float(m["loss"]))
+        for a, b in zip(p0, jax.tree_util.tree_leaves(tr.state.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))  # skipped
+
+        m2 = tr.step(jnp.asarray(good))
+        assert np.isfinite(float(m2["loss"]))
+        changed = any(
+            not np.array_equal(a, np.asarray(b))
+            for a, b in zip(p0, jax.tree_util.tree_leaves(tr.state.params)))
+        assert changed  # good batch updates again
+    finally:
+        tr.cleanup()
