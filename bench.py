@@ -69,13 +69,20 @@ def bench_sampler(peak: float) -> None:
            "model_channels": 128, "remat": False}
     key = jax.random.PRNGKey(0)
 
-    for name, model, steps in (
-            ("DDPM 1000-step sampler (64x64, B=64)", DDPM(cfg), 1000),
+    dpm_model = DDPM(cfg)
+    for name, model, steps, fn_of in (
+            ("DDPM 1000-step sampler (64x64, B=64)", DDPM(cfg), 1000,
+             None),
             ("DDIM 50-step sampler (64x64, B=64)",
-             DDIM({**cfg, "ddim_sampling_steps": 50}), 50)):
+             DDIM({**cfg, "ddim_sampling_steps": 50}), 50, None),
+            ("DPM-Solver++(2M) 20-step sampler (64x64, B=64)", dpm_model,
+             19,   # S-1 model evals
+             lambda p, k: dpm_model.generate_samples_dpm(
+                 p, k, 64, num_steps=20))):
         import numpy as np
         params = model.init_params(key)
-        fn = lambda p, k: model.generate_samples(p, k, batch)
+        fn = fn_of if fn_of is not None else (
+            lambda p, k: model.generate_samples(p, k, batch))
         _ = np.asarray(fn(params, key))     # compile + run
         n = 3 if steps <= 50 else 1
         t0 = time.perf_counter()

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..utils.losses import DiffusionLoss
 from .base import Array, BaseDiffusionModel, Params
-from .schedules import ddpm_posterior_step, make_noise_schedule, q_sample
+from .schedules import (ddpm_posterior_step, make_dpm_solver_params,
+                        make_noise_schedule, q_sample)
 from .unet import UNet
 
 
@@ -117,6 +118,57 @@ class DDPM(BaseDiffusionModel):
         k_init, k_loop = jax.random.split(rng)
         x = jax.random.normal(k_init, self.sample_shape(batch_size))
         return self._denoise_range(params, x, k_loop, self.num_timesteps, 0)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "batch_size", "num_steps"))
+    def generate_samples_dpm(self, params: Params, rng: Array,
+                             batch_size: int, num_steps: int = 20) -> Array:
+        """DPM-Solver++(2M) fast deterministic sampler (Lu et al. 2022,
+        arXiv:2211.01095) — capability superset of the reference, whose
+        fastest path is DDIM-50 (`models/ddim.py:128-188`).
+
+        Second-order multistep ODE solver in x₀-parameterization on the
+        model's own discrete schedule: one ε-prediction per step, S−1
+        updates over a λ (half-log-SNR) grid, all inside one `lax.scan`.
+        For models whose x₀-prediction is smooth in λ (any trained
+        denoiser), the 2M correction tracks the reverse ODE far closer
+        than a first-order (DDIM) grid of the same size — solver order
+        is pinned against an analytic Gaussian-posterior model in
+        `tests/test_models.py::test_dpm_solver_second_order_convergence`.
+        """
+        p = make_dpm_solver_params(self.schedule, num_steps)
+        b = batch_size
+        # Same key convention as the other samplers: initial noise from
+        # the first split — the deterministic solver needs no loop keys,
+        # but sharing the convention makes cross-sampler comparisons
+        # (same rng → same x_T) possible.
+        k_init, _ = jax.random.split(rng)
+        x = jax.random.normal(k_init, self.sample_shape(b))
+
+        def x0_of(x, j):
+            t_b = jnp.full((b,), p.timesteps[j], jnp.int32)
+            eps = self.apply(params, x, t_b)
+            x0 = (x - p.sigma[j] * eps) / p.alpha[j]
+            return jnp.clip(x0, -1.0, 1.0)  # same thresholding as DDIM
+
+        def body(carry, j):
+            x, x0_prev, h_prev = carry
+            x0 = x0_of(x, j - 1)            # model eval at the PREV time
+            h = p.lam[j] - p.lam[j - 1]
+            # 2M correction: linear extrapolation of x0(λ) through the
+            # last two evals ⇒ D = (1+c)·x0 − c·x0_prev with
+            # c = h/(2·h_prev). The first step (h_prev == 0) degenerates
+            # to the 1st-order (DDIM-like) update D = x0.
+            c = jnp.where(h_prev > 0.0, h / (2.0 * h_prev), 0.0)
+            D = (1.0 + c) * x0 - c * x0_prev
+            x = (p.sigma[j] / p.sigma[j - 1]) * x \
+                - p.alpha[j] * jnp.expm1(-h) * D
+            return (x, x0, h), None
+
+        (x, _, _), _ = jax.lax.scan(
+            body, (x, jnp.zeros_like(x), jnp.asarray(0.0)),
+            jnp.arange(1, num_steps))
+        return x
 
     def generate_samples_with_intermediates(
             self, params: Params, rng: Array, batch_size: int,

@@ -218,6 +218,42 @@ def ddim_step(params: DDIMParams, x: jnp.ndarray, i: jnp.ndarray,
     return jnp.sqrt(alpha_prev) * pred_x0 + dir_xt
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DPMSolverParams:
+    """Precomputed buffers for DPM-Solver++(2M) (Lu et al. 2022,
+    arXiv:2211.01095) on a discrete DDPM schedule.
+
+    A capability superset of the reference (whose fastest sampler is
+    DDIM-50, `models/ddim.py:128-188`): a second-order multistep ODE
+    solver in x₀-parameterization — noticeably better sample quality at
+    5–20 steps for ONE model eval per step, the modern default for fast
+    diffusion sampling.
+
+    Sequence convention: index j = 0..S−1 walks times t_0 > … > t_{S−1}
+    (t_0 = T−1, t_{S−1} = 0). α = √ᾱ, σ = √(1−ᾱ), λ = log(α/σ)
+    (increases as noise decreases).
+    """
+
+    timesteps: jnp.ndarray   # [S] int32, decreasing
+    alpha: jnp.ndarray       # [S] √ᾱ at the selected steps
+    sigma: jnp.ndarray       # [S] √(1−ᾱ)
+    lam: jnp.ndarray         # [S] log(α/σ)
+
+
+def make_dpm_solver_params(schedule: NoiseSchedule,
+                           num_sampling_steps: int = 20) -> DPMSolverParams:
+    """Select S timesteps (uniform in t, T−1 → 0 inclusive) and
+    precompute the half-log-SNR grid."""
+    T = schedule.num_timesteps
+    ts = jnp.linspace(T - 1, 0, num_sampling_steps).round().astype(jnp.int32)
+    abar = schedule.alphas_cumprod[ts]
+    alpha = jnp.sqrt(abar)
+    sigma = jnp.sqrt(1.0 - abar)
+    return DPMSolverParams(timesteps=ts, alpha=alpha, sigma=sigma,
+                           lam=jnp.log(alpha / sigma))
+
+
 def sigma_ladder(sigma_min: float, sigma_max: float,
                  num_scales: int) -> jnp.ndarray:
     """Geometric σ ladder from σ_max down to σ_min.

@@ -39,6 +39,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=None,
                    help="Restrict sampling to the first N local devices "
                         "(default: all — generation is data-parallel)")
+    p.add_argument("--sampler", type=str, default="default",
+                   choices=["default", "dpm++"],
+                   help="'default' = the model family's own sampler; "
+                        "'dpm++' = DPM-Solver++(2M) fast ODE sampler "
+                        "(ddpm/ddim models)")
+    p.add_argument("--sampler_steps", type=int, default=20,
+                   help="Step count for --sampler dpm++")
     p.add_argument("--grid_only", action="store_true",
                    help="Skip per-sample PNGs, save only the grid")
     return p
@@ -85,8 +92,17 @@ def main(argv=None) -> int:
     if args.num_devices:
         devices = devices[:args.num_devices]
     with sampling_scope(make_mesh(devices)):
-        samples = np.asarray(model.generate_samples(params, key,
-                                                    args.num_samples))
+        if args.sampler == "dpm++":
+            if not hasattr(model, "generate_samples_dpm"):
+                raise SystemExit(
+                    f"--sampler dpm++ needs an ε-prediction model "
+                    f"(ddpm/ddim), got {args.model_type}")
+            samples = np.asarray(model.generate_samples_dpm(
+                params, key, args.num_samples,
+                num_steps=args.sampler_steps))
+        else:
+            samples = np.asarray(model.generate_samples(params, key,
+                                                        args.num_samples))
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     if not args.grid_only:

@@ -199,3 +199,60 @@ def test_ddpm_ancestral_sampler_recovers_unit_gaussian():
     vals = np.asarray(samples).ravel()
     assert abs(vals.mean()) < 0.05, vals.mean()
     assert 0.9 < vals.var() < 1.1, vals.var()
+
+
+class _AnalyticDDPM(DDPM):
+    """Exact ε-posterior for Gaussian data x₀ ~ N(0, 0.1²):
+    ε*(x,t) = σ_t·x/(σ_t² + 0.01·α_t²) — closed-form, smooth in λ, so
+    solver order is observable without a trained network."""
+
+    DATA_VAR = 0.01
+
+    def apply(self, params, x, t, train=False, rng=None):
+        abar = jnp.take(self.schedule.alphas_cumprod, t)[:, None, None, None]
+        return jnp.sqrt(1 - abar) * x / ((1 - abar) + self.DATA_VAR * abar)
+
+
+def test_dpm_solver_second_order_convergence():
+    """DPM-Solver++(2M) must (a) reduce to the DDIM-equivalent
+    first-order update on its first step and (b) converge to the fine-
+    grid ODE solution much faster than first order: on the analytic
+    model its S=20 error vs a 400-step reference is ~100× below a
+    first-order solver on the same grid."""
+    cfg = {"num_timesteps": 1000, "image_size": 32, "in_channels": 3,
+           "model_channels": 8, "compute_dtype": "float32"}
+    m = _AnalyticDDPM(cfg)
+    params = m.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+
+    from diffusion_model_universal_tpu.models.schedules import \
+        make_dpm_solver_params
+
+    def first_order(S, b=4):
+        p = make_dpm_solver_params(m.schedule, S)
+        k_init, _ = jax.random.split(key)
+        x = jax.random.normal(k_init, m.sample_shape(b))
+        for j in range(1, S):
+            t_b = jnp.full((b,), p.timesteps[j - 1], jnp.int32)
+            eps = m.apply(params, x, t_b)
+            x0 = jnp.clip((x - p.sigma[j - 1] * eps) / p.alpha[j - 1], -1, 1)
+            h = p.lam[j] - p.lam[j - 1]
+            x = (p.sigma[j] / p.sigma[j - 1]) * x \
+                - p.alpha[j] * jnp.expm1(-h) * x0
+        return np.asarray(x)
+
+    ref = first_order(400)
+    e1 = np.abs(first_order(20) - ref).mean()
+    e2 = np.abs(np.asarray(
+        m.generate_samples_dpm(params, key, 4, num_steps=20)) - ref).mean()
+    assert e2 < e1 / 20, (e1, e2)   # measured ~100× on this model
+
+
+def test_dpm_sampler_shape_and_determinism(ddpm_and_params):
+    model, params = ddpm_and_params
+    key = jax.random.PRNGKey(11)
+    a = model.generate_samples_dpm(params, key, 2, num_steps=6)
+    b = model.generate_samples_dpm(params, key, 2, num_steps=6)
+    assert a.shape == model.sample_shape(2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
