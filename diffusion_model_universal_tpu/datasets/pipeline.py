@@ -212,8 +212,14 @@ class DeviceDataLoader:
                  augment: Callable[[Array, Array], Array],
                  shuffle: bool = True, seed: int = 0,
                  world_size: int = 1, rank: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True,
+                 labels: Optional[np.ndarray] = None):
         assert images.dtype == np.uint8, "loader expects uint8 host arrays"
+        if labels is not None:
+            assert len(labels) == len(images), "labels misaligned"
+        # With labels, batches are dicts {"image", "label"} (conditional
+        # training); without, plain image arrays (reference behavior).
+        self.labels = labels
         self.images = images
         self.batch_size = batch_size
         self.augment = augment
@@ -259,7 +265,12 @@ class DeviceDataLoader:
             batch = native.gather_batch(self.images,
                                         np.asarray(idx, np.int64))
             key, sub = jax.random.split(key)
-            yield self.augment(jnp.asarray(batch), sub)
+            out = self.augment(jnp.asarray(batch), sub)
+            if self.labels is not None:
+                yield {"image": out,
+                       "label": jnp.asarray(self.labels[idx], jnp.int32)}
+            else:
+                yield out
         self.epoch += 1
 
 

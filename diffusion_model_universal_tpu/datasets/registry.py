@@ -38,7 +38,8 @@ class ArrayImageDataset:
                  split_ratios: Optional[Dict[str, float]] = None,
                  crop_size: Optional[int] = None,
                  mean: Sequence[float] = (0.5, 0.5, 0.5),
-                 std: Sequence[float] = (0.5, 0.5, 0.5), **_: Any):
+                 std: Sequence[float] = (0.5, 0.5, 0.5),
+                 use_labels: bool = False, **_: Any):
         self.data_dir = data_dir
         self.image_size = image_size
         self.transforms = transforms or {"train": [], "eval": []}
@@ -47,10 +48,26 @@ class ArrayImageDataset:
         self.crop_size = crop_size
         self.mean = list(mean)
         self.std = list(std)
+        # Class-conditional training support (superset — the reference
+        # discards labels entirely): subclasses populate _split_labels
+        # alongside the image splits when use_labels is set; loaders then
+        # yield {"image", "label"} dict batches.
+        self.use_labels = use_labels
+        self._split_labels: Optional[Dict[str, np.ndarray]] = None
         splits = self._build_splits()
         self.train_dataset = splits["train"]
         self.val_dataset = splits["val"]
         self.test_dataset = splits["test"]
+        if use_labels and self._split_labels is None:
+            raise ValueError(
+                f"{type(self).__name__} has no class labels "
+                "(data.use_labels / model_config.num_classes unsupported)")
+        if self._split_labels is not None:
+            for k in ("train", "val", "test"):
+                assert len(self._split_labels[k]) == len(splits[k]), k
+        self.train_labels = (self._split_labels or {}).get("train")
+        self.val_labels = (self._split_labels or {}).get("val")
+        self.test_labels = (self._split_labels or {}).get("test")
 
     # Subclasses return {"train": uint8 array, "val": ..., "test": ...}
     def _build_splits(self) -> Dict[str, np.ndarray]:
@@ -76,13 +93,16 @@ class ArrayImageDataset:
                                    mean, std, train=False)
         train = DeviceDataLoader(self.train_dataset, batch_size, aug_train,
                                  shuffle=True, seed=seed,
-                                 world_size=world_size, rank=rank)
+                                 world_size=world_size, rank=rank,
+                                 labels=self.train_labels)
         val = DeviceDataLoader(self.val_dataset, ebs, aug_eval,
                                shuffle=False, world_size=world_size,
-                               rank=rank, drop_last=False)
+                               rank=rank, drop_last=False,
+                               labels=self.val_labels)
         test = DeviceDataLoader(self.test_dataset, ebs, aug_eval,
                                 shuffle=False, world_size=world_size,
-                                rank=rank, drop_last=False)
+                                rank=rank, drop_last=False,
+                                labels=self.test_labels)
         return train, val, test
 
 
@@ -102,6 +122,11 @@ class MNISTDataset(ArrayImageDataset):
                       "val": ratios.get("val", 0.1) / tv, "test": 0.0}
         order = np.random.default_rng(42).permutation(len(train_raw))
         n_train = int(len(train_raw) * ratios["train"])
+        if self.use_labels:
+            tr_l, te_l = sources.load_mnist_labels(self.data_dir)
+            self._split_labels = {"train": tr_l[order[:n_train]],
+                                  "val": tr_l[order[n_train:]],
+                                  "test": te_l}
         return {"train": train_raw[order[:n_train]],
                 "val": train_raw[order[n_train:]],
                 "test": test_raw}
@@ -116,6 +141,11 @@ class CIFAR10Dataset(ArrayImageDataset):
         train_raw_t = self._prep(train_raw, True)
         test_raw = self._prep(test_raw, False)
         idx = split_indices(len(train_raw_t), self.split_ratios, seed=42)
+        if self.use_labels:
+            tr_l, te_l = sources.load_cifar10_labels(self.data_dir)
+            self._split_labels = {"train": tr_l[idx["train"]],
+                                  "val": tr_l[idx["val"]],
+                                  "test": te_l}
         return {"train": train_raw_t[idx["train"]],
                 "val": train_raw_t[idx["val"]],
                 "test": test_raw}
@@ -172,6 +202,10 @@ class SyntheticDataset(ArrayImageDataset):
     def _build_splits(self) -> Dict[str, np.ndarray]:
         imgs = sources.make_synthetic(self.num_samples, self.image_size)
         idx = split_indices(len(imgs), self.split_ratios, seed=42)
+        if self.use_labels:
+            # Deterministic 10-class labels (tests/benchmarks).
+            labels = (np.arange(len(imgs)) % 10).astype(np.int64)
+            self._split_labels = {k: labels[v] for k, v in idx.items()}
         return {k: imgs[v] for k, v in idx.items()}
 
 
@@ -222,6 +256,11 @@ def get_dataset(config: Dict, world_size: int = 1, rank: int = 0,
     )
     if "crop_size" in block:
         kwargs["crop_size"] = block["crop_size"]
+    # Conditional training: labels ride along when the model is
+    # class-conditional or the data config asks for them explicitly.
+    if (config["data"].get("use_labels", False)
+            or int(config.get("model_config", {}).get("num_classes", 0)) > 0):
+        kwargs["use_labels"] = True
     if name == "synthetic":
         kwargs["num_samples"] = config["data"].get(
             "num_samples", block.get("num_samples", 2048))

@@ -37,6 +37,15 @@ def read_idx_images(path: Path) -> np.ndarray:
     return data.reshape(n, rows, cols)
 
 
+def read_idx_labels(path: Path) -> np.ndarray:
+    """Parse an IDX1 label file (MNIST raw format) to [N] uint8."""
+    with _open_maybe_gz(path) as f:
+        magic, n = struct.unpack(">II", f.read(8))
+        if magic != 2049:
+            raise ValueError(f"{path}: bad IDX1 magic {magic}")
+        return np.frombuffer(f.read(n), np.uint8)
+
+
 def _find(data_dir: Path, names) -> Path:
     for name in names:
         for candidate in (data_dir / name, data_dir / (name + ".gz")):
@@ -59,6 +68,32 @@ def load_mnist(data_dir: str) -> Tuple[np.ndarray, np.ndarray]:
     test = read_idx_images(_find(root, ["t10k-images-idx3-ubyte",
                                         "t10k-images.idx3-ubyte"]))
     return train[..., None], test[..., None]
+
+
+def load_mnist_labels(data_dir: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(train_labels [60000], test_labels [10000]) int64 class ids."""
+    root = Path(data_dir)
+    train = read_idx_labels(_find(root, ["train-labels-idx1-ubyte",
+                                         "train-labels.idx1-ubyte"]))
+    test = read_idx_labels(_find(root, ["t10k-labels-idx1-ubyte",
+                                        "t10k-labels.idx1-ubyte"]))
+    return train.astype(np.int64), test.astype(np.int64)
+
+
+def load_cifar10_labels(data_dir: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(train_labels [50000], test_labels [10000]) int64 class ids from
+    the same pickle batches as :func:`load_cifar10`."""
+    root = Path(data_dir)
+
+    def read_labels(path: Path) -> np.ndarray:
+        with open(path, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        raw = d.get(b"labels", d.get("labels"))
+        return np.asarray(raw, np.int64)
+
+    train = np.concatenate([
+        read_labels(_find(root, [f"data_batch_{i}"])) for i in range(1, 6)])
+    return train, read_labels(_find(root, ["test_batch"]))
 
 
 def load_cifar10(data_dir: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -46,15 +46,16 @@ class DDIM(DDPM):
             self.eta)
 
     def _ddim_scan(self, params: Params, x: Array, rng: Array,
-                   i_hi: int, i_lo: int) -> Array:
+                   i_hi: int, i_lo: int, eps_fn=None) -> Array:
         """Run DDIM steps for positions i_hi−1 down to i_lo as one scan."""
         b = x.shape[0]
+        eps_fn = eps_fn if eps_fn is not None else self.eps_fn(params)
 
         def body(carry, i):
             x, key = carry
             key, k_eps = jax.random.split(key)
             t_b = jnp.full((b,), self.ddim_params.timesteps[i], jnp.int32)
-            eps_pred = self.apply(params, x, t_b)
+            eps_pred = eps_fn(x, t_b)
             noise = jax.random.normal(k_eps, x.shape, x.dtype)
             x = ddim_step(self.ddim_params, x, i, eps_pred, noise, self.eta)
             return (x, key), None
@@ -62,6 +63,18 @@ class DDIM(DDPM):
         idx = jnp.arange(i_hi - 1, i_lo - 1, -1, dtype=jnp.int32)
         (x, _), _ = jax.lax.scan(body, (x, rng), idx)
         return x
+
+    @functools.partial(jax.jit, static_argnames=("self", "batch_size",
+                                                 "guidance_scale"))
+    def generate_samples_cfg(self, params: Params, rng: Array,
+                             batch_size: int, labels: Array,
+                             guidance_scale: float = 3.0) -> Array:
+        """S-step DDIM sampling with classifier-free guidance (superset)."""
+        k_init, k_loop = jax.random.split(rng)
+        x = jax.random.normal(k_init, self.sample_shape(batch_size))
+        fn = self.eps_fn(params, labels, guidance_scale)
+        return self._ddim_scan(params, x, k_loop,
+                               self.ddim_sampling_steps, 0, fn)
 
     @functools.partial(jax.jit, static_argnames=("self", "batch_size"))
     def generate_samples(self, params: Params, rng: Array,

@@ -51,6 +51,13 @@ class DDPM(BaseDiffusionModel):
             cfg.get("schedule_type", "linear"))
 
         in_ch = cfg.get("in_channels", 3)
+        # Class-conditional + classifier-free guidance (superset — the
+        # reference is unconditional): num_classes > 0 adds a label
+        # embedding; cfg_drop_prob of training labels are replaced by
+        # the NULL token so the same params serve conditional AND
+        # unconditional predictions at sampling time.
+        self.num_classes = int(cfg.get("num_classes", 0))
+        self.cfg_drop_prob = float(cfg.get("cfg_drop_prob", 0.1))
         self.net = UNet(
             in_channels=in_ch,
             model_channels=cfg.get("model_channels", 64),
@@ -59,6 +66,7 @@ class DDPM(BaseDiffusionModel):
             dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
             remat=cfg.get("remat", True),
+            num_classes=self.num_classes,
         )
         self.loss_fn = DiffusionLoss(
             loss_type=cfg.get("loss_type", "mse"),
@@ -73,35 +81,70 @@ class DDPM(BaseDiffusionModel):
         return self.net.init(rng, x, t)["params"]
 
     def apply(self, params: Params, x: Array, t: Array,
-              train: bool = False, rng: Optional[Array] = None) -> Array:
-        """Predict ε for noisy input x_t (reference `ddpm.py:193-205`)."""
+              train: bool = False, rng: Optional[Array] = None,
+              y: Optional[Array] = None) -> Array:
+        """Predict ε for noisy input x_t (reference `ddpm.py:193-205`);
+        ``y`` = optional [B] class labels (conditional models)."""
         rngs = {"dropout": rng} if (train and rng is not None) else None
-        return self.net.apply({"params": params}, x, t,
+        return self.net.apply({"params": params}, x, t, y=y,
                               deterministic=not train, rngs=rngs)
 
-    def loss_function(self, params: Params, x: Array, rng: Array) -> Array:
-        """ε-prediction training loss (reference `ddpm.py:207-235`)."""
-        kt, kn, kd = jax.random.split(rng, 3)
+    def loss_function(self, params: Params, x, rng: Array) -> Array:
+        """ε-prediction training loss (reference `ddpm.py:207-235`).
+
+        ``x`` is either an image batch [B,H,W,C] or, for conditional
+        models, a dict ``{"image": [B,H,W,C], "label": [B]}``; a
+        ``cfg_drop_prob`` fraction of labels is replaced by the NULL
+        token (classifier-free-guidance training, Ho & Salimans 2022).
+        """
+        y = None
+        if isinstance(x, dict):
+            x, y = x["image"], x.get("label")
+        kt, kn, kd, ky = jax.random.split(rng, 4)
         b = x.shape[0]
         t = jax.random.randint(kt, (b,), 0, self.num_timesteps)
         noise = jax.random.normal(kn, x.shape, x.dtype)
         noisy_x = q_sample(self.schedule, x, t, noise)
-        pred = self.apply(params, noisy_x, t, train=True, rng=kd)
+        if y is not None and self.num_classes > 0:
+            drop = jax.random.bernoulli(ky, self.cfg_drop_prob, (b,))
+            y = jnp.where(drop, self.num_classes, y)
+        pred = self.apply(params, noisy_x, t, train=True, rng=kd, y=y)
         return self.loss_fn(pred, noise, t)
+
+    # -- ε-prediction closures (shared by all samplers) -------------------
+    def eps_fn(self, params: Params, y: Optional[Array] = None,
+               guidance_scale: float = 1.0):
+        """Build ``eps(x, t_b)`` — plain, conditional, or CFG-guided
+        (ε_u + s·(ε_c − ε_u), Ho & Salimans 2022)."""
+        if y is None:
+            return lambda x, t_b: self.apply(params, x, t_b)
+        if guidance_scale == 1.0:
+            return lambda x, t_b: self.apply(params, x, t_b, y=y)
+
+        def guided(x, t_b):
+            y_null = jnp.full_like(y, self.num_classes)
+            e_c = self.apply(params, x, t_b, y=y)
+            e_u = self.apply(params, x, t_b, y=y_null)
+            return e_u + guidance_scale * (e_c - e_u)
+
+        return guided
 
     # -- sampling ---------------------------------------------------------
     def _denoise_range(self, params: Params, x: Array, rng: Array,
-                       t_hi: int, t_lo: int) -> Array:
-        """Run reverse diffusion from t_hi−1 down to t_lo as one scan."""
+                       t_hi: int, t_lo: int, eps_fn=None) -> Array:
+        """Run reverse diffusion from t_hi−1 down to t_lo as one scan.
+        ``eps_fn`` defaults to the unconditional prediction; CFG samplers
+        pass a guided closure (:meth:`eps_fn`)."""
         steps = t_hi - t_lo
         b = x.shape[0]
+        eps_fn = eps_fn if eps_fn is not None else self.eps_fn(params)
 
         def body(carry, inp):
             x, key = carry
             t_scalar = inp
             key, k_eps = jax.random.split(key)
             t_b = jnp.full((b,), t_scalar, jnp.int32)
-            eps_pred = self.apply(params, x, t_b)
+            eps_pred = eps_fn(x, t_b)
             noise = jax.random.normal(k_eps, x.shape, x.dtype)
             x = ddpm_posterior_step(self.schedule, x, t_b, eps_pred, noise)
             return (x, key), None
@@ -109,6 +152,20 @@ class DDPM(BaseDiffusionModel):
         ts = jnp.arange(t_hi - 1, t_lo - 1, -1, dtype=jnp.int32)
         (x, _), _ = jax.lax.scan(body, (x, rng), ts, length=steps)
         return x
+
+    @functools.partial(jax.jit, static_argnames=("self", "batch_size",
+                                                 "guidance_scale"))
+    def generate_samples_cfg(self, params: Params, rng: Array,
+                             batch_size: int, labels: Array,
+                             guidance_scale: float = 3.0) -> Array:
+        """Class-conditional sampling with classifier-free guidance
+        (superset — the reference is unconditional). ``labels`` is a
+        [batch_size] int array; scale 1.0 = plain conditional."""
+        k_init, k_loop = jax.random.split(rng)
+        x = jax.random.normal(k_init, self.sample_shape(batch_size))
+        fn = self.eps_fn(params, labels, guidance_scale)
+        return self._denoise_range(params, x, k_loop,
+                                   self.num_timesteps, 0, fn)
 
     @functools.partial(jax.jit, static_argnames=("self", "batch_size"))
     def generate_samples(self, params: Params, rng: Array,
@@ -120,9 +177,12 @@ class DDPM(BaseDiffusionModel):
         return self._denoise_range(params, x, k_loop, self.num_timesteps, 0)
 
     @functools.partial(jax.jit,
-                       static_argnames=("self", "batch_size", "num_steps"))
+                       static_argnames=("self", "batch_size", "num_steps",
+                                        "guidance_scale"))
     def generate_samples_dpm(self, params: Params, rng: Array,
-                             batch_size: int, num_steps: int = 20) -> Array:
+                             batch_size: int, num_steps: int = 20,
+                             labels: Optional[Array] = None,
+                             guidance_scale: float = 1.0) -> Array:
         """DPM-Solver++(2M) fast deterministic sampler (Lu et al. 2022,
         arXiv:2211.01095) — capability superset of the reference, whose
         fastest path is DDIM-50 (`models/ddim.py:128-188`).
@@ -145,9 +205,11 @@ class DDPM(BaseDiffusionModel):
         k_init, _ = jax.random.split(rng)
         x = jax.random.normal(k_init, self.sample_shape(b))
 
+        eps_fn = self.eps_fn(params, labels, guidance_scale)
+
         def x0_of(x, j):
             t_b = jnp.full((b,), p.timesteps[j], jnp.int32)
-            eps = self.apply(params, x, t_b)
+            eps = eps_fn(x, t_b)
             x0 = (x - p.sigma[j] * eps) / p.alpha[j]
             return jnp.clip(x0, -1.0, 1.0)  # same thresholding as DDIM
 

@@ -152,6 +152,8 @@ class EnergyBasedDiffusion(BaseDiffusionModel):
     def loss_function(self, params: Params, x: Array, rng: Array) -> Array:
         """CD + gradient-penalty loss with Langevin negatives
         (reference `energy_based.py:179-211`)."""
+        if isinstance(x, dict):  # labeled batch; this family is unconditional
+            x = x["image"]
         kt, kn, kl, kg = jax.random.split(rng, 4)
         b = x.shape[0]
         t = jax.random.randint(kt, (b,), 0, self.num_timesteps)

@@ -78,6 +78,8 @@ class ScoreBasedDiffusion(BaseDiffusionModel):
     def loss_function(self, params: Params, x: Array, rng: Array) -> Array:
         """DSM loss at geometric random noise levels
         (reference `score_based.py:179-207`)."""
+        if isinstance(x, dict):  # labeled batch; this family is unconditional
+            x = x["image"]
         ku, kn, kd = jax.random.split(rng, 3)
         b = x.shape[0]
         u = jax.random.uniform(ku, (b,))

@@ -69,9 +69,13 @@ class UNet(nn.Module):
     use_pallas: bool = False
     continuous_sigma: bool = False
     remat: bool = False
+    # Class-conditional generation (capability superset — the reference
+    # is unconditional): index `num_classes` is the NULL token used for
+    # classifier-free-guidance training/sampling.
+    num_classes: int = 0
 
     @nn.compact
-    def __call__(self, x: Array, t: Array,
+    def __call__(self, x: Array, t: Array, y: Array = None,
                  deterministic: bool = True) -> Array:
         if x.shape[1] < 32 or x.shape[2] < 32:
             raise ValueError(
@@ -87,6 +91,15 @@ class UNet(nn.Module):
             t_emb = SigmaEmbedding(c, c * 4, self.dtype, name="time_embedding")(t)
         else:
             t_emb = TimeEmbedding(c, c * 4, self.dtype, name="time_embedding")(t)
+        if self.num_classes > 0:
+            # Additive label embedding on the time-embedding pathway
+            # (zero-init → starts unconditional); +1 slot = NULL token.
+            if y is None:
+                y = jnp.full(x.shape[:1], self.num_classes, jnp.int32)
+            t_emb = t_emb + nn.Embed(
+                self.num_classes + 1, c * 4, dtype=self.dtype,
+                embedding_init=nn.initializers.zeros,
+                name="label_embedding")(y).astype(t_emb.dtype)
 
         h = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=nn.initializers.he_normal(),

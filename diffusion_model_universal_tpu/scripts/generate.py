@@ -46,6 +46,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(ddpm/ddim models)")
     p.add_argument("--sampler_steps", type=int, default=20,
                    help="Step count for --sampler dpm++")
+    p.add_argument("--class_id", type=int, default=None,
+                   help="Class label for conditional checkpoints "
+                        "(model_config.num_classes > 0); all samples "
+                        "get this class")
+    p.add_argument("--guidance_scale", type=float, default=3.0,
+                   help="Classifier-free guidance scale for --class_id "
+                        "(1.0 = plain conditional)")
     p.add_argument("--grid_only", action="store_true",
                    help="Skip per-sample PNGs, save only the grid")
     return p
@@ -91,6 +98,13 @@ def main(argv=None) -> int:
     devices = jax.devices()
     if args.num_devices:
         devices = devices[:args.num_devices]
+    labels = None
+    if args.class_id is not None:
+        if getattr(model, "num_classes", 0) <= 0:
+            raise SystemExit("--class_id needs a conditional checkpoint "
+                             "(model_config.num_classes > 0)")
+        import jax.numpy as jnp
+        labels = jnp.full((args.num_samples,), args.class_id, jnp.int32)
     with sampling_scope(make_mesh(devices)):
         if args.sampler == "dpm++":
             if not hasattr(model, "generate_samples_dpm"):
@@ -99,7 +113,13 @@ def main(argv=None) -> int:
                     f"(ddpm/ddim), got {args.model_type}")
             samples = np.asarray(model.generate_samples_dpm(
                 params, key, args.num_samples,
-                num_steps=args.sampler_steps))
+                num_steps=args.sampler_steps, labels=labels,
+                guidance_scale=args.guidance_scale if labels is not None
+                else 1.0))
+        elif labels is not None:
+            samples = np.asarray(model.generate_samples_cfg(
+                params, key, args.num_samples, labels,
+                guidance_scale=args.guidance_scale))
         else:
             samples = np.asarray(model.generate_samples(params, key,
                                                         args.num_samples))

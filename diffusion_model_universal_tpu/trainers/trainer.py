@@ -263,8 +263,14 @@ class DiffusionTrainer:
                     self.logger.diffusion_metrics(model.schedule), 0)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _batch_count(batch) -> int:
+        """Leading-dim size of a batch (plain array or pytree — conditional
+        batches are dicts {"image", "label"})."""
+        return jax.tree_util.tree_leaves(batch)[0].shape[0]
+
     def _global_batch(self, batch):
-        """Place a batch with batch-axis sharding.
+        """Place a batch (array or pytree) with batch-axis sharding.
 
         Single-process: a plain sharded device_put. Multi-host: each
         process contributes its local shard of the global batch
@@ -272,8 +278,9 @@ class DiffusionTrainer:
         equivalent at array level; the loader already feeds disjoint
         shards per process)."""
         if jax.process_count() > 1:
-            return jax.make_array_from_process_local_data(
-                self._batch_sharding, np.asarray(batch))
+            return jax.tree_util.tree_map(
+                lambda b: jax.make_array_from_process_local_data(
+                    self._batch_sharding, np.asarray(b)), batch)
         return jax.device_put(batch, self._batch_sharding)
 
     def _step_key(self, step: int, salt: int = 0):
@@ -305,12 +312,13 @@ class DiffusionTrainer:
             # Stack host-side: the global array is assembled from each
             # process's LOCAL shard (a device-side stack would round-trip
             # already-device-resident batches device→host→device).
-            stacked = jax.make_array_from_process_local_data(
-                NamedSharding(self.mesh,
-                              P(None, *self._batch_sharding.spec)),
-                np.stack([np.asarray(b) for b in chunk]))
+            sh = NamedSharding(self.mesh, P(None, *self._batch_sharding.spec))
+            stacked = jax.tree_util.tree_map(
+                lambda *bs: jax.make_array_from_process_local_data(
+                    sh, np.stack([np.asarray(b) for b in bs])), *chunk)
         else:
-            stacked = jnp.stack([jnp.asarray(b) for b in chunk])
+            stacked = jax.tree_util.tree_map(
+                lambda *bs: jnp.stack([jnp.asarray(b) for b in bs]), *chunk)
         return self.train_step_scan(state, stacked,
                                     jnp.asarray(step, jnp.int32))
 
@@ -446,7 +454,7 @@ class DiffusionTrainer:
                         if (self.config.get("logging", {}) or {}).get(
                                 "track_time_metrics", False):
                             log.update(self.logger.performance_metrics(
-                                batch_time, batch.shape[0]))
+                                batch_time, self._batch_count(batch)))
                         if step % self.gradient_logging_freq == 0:
                             # Reference `_log_model_gradients` +
                             # `_log_optimizer_stats`
@@ -525,10 +533,10 @@ class DiffusionTrainer:
             # the batch sharding stays valid (the DistributedSampler in the
             # reference pads instead; trimming keeps eval unbiased-enough
             # without duplicate samples).
-            n = (batch.shape[0] // data_size) * data_size
+            n = (self._batch_count(batch) // data_size) * data_size
             if n == 0:
                 continue
-            batch = batch[:n]
+            batch = jax.tree_util.tree_map(lambda b: b[:n], batch)
             key = self._step_key(i, salt=salt)
             losses.append(self.eval_step(self.state.params,
                                          self._global_batch(batch), key))

@@ -41,7 +41,7 @@ _KNOWN_MODEL_KEYS = {
     "use_time_conditioning", "channel_multipliers", "attention_resolutions",
     "scale_by_sigma", "ema_rate", "noise_schedule", "time_steps",
     "hidden_channels", "compute_dtype", "use_pallas", "mcmc_steps_per_iter",
-    "schedule_type",
+    "schedule_type", "remat", "num_classes", "cfg_drop_prob",
 }
 
 
