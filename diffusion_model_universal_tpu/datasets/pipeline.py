@@ -215,8 +215,10 @@ class DeviceDataLoader:
                  drop_last: bool = True,
                  labels: Optional[np.ndarray] = None):
         assert images.dtype == np.uint8, "loader expects uint8 host arrays"
-        if labels is not None:
-            assert len(labels) == len(images), "labels misaligned"
+        if labels is not None and len(labels) != len(images):
+            # raise (not assert): alignment guard must survive python -O
+            raise ValueError(
+                f"{len(labels)} labels for {len(images)} images")
         # With labels, batches are dicts {"image", "label"} (conditional
         # training); without, plain image arrays (reference behavior).
         self.labels = labels

@@ -64,7 +64,11 @@ class ArrayImageDataset:
                 "(data.use_labels / model_config.num_classes unsupported)")
         if self._split_labels is not None:
             for k in ("train", "val", "test"):
-                assert len(self._split_labels[k]) == len(splits[k]), k
+                if len(self._split_labels[k]) != len(splits[k]):
+                    # raise (not assert): alignment guards must survive -O
+                    raise ValueError(
+                        f"{k}: {len(self._split_labels[k])} labels for "
+                        f"{len(splits[k])} images")
         self.train_labels = (self._split_labels or {}).get("train")
         self.val_labels = (self._split_labels or {}).get("val")
         self.test_labels = (self._split_labels or {}).get("test")

@@ -70,8 +70,7 @@ class DDIM(DDPM):
                              batch_size: int, labels: Array,
                              guidance_scale: float = 3.0) -> Array:
         """S-step DDIM sampling with classifier-free guidance (superset)."""
-        k_init, k_loop = jax.random.split(rng)
-        x = jax.random.normal(k_init, self.sample_shape(batch_size))
+        k_loop, x = self._init_noise(rng, batch_size)
         fn = self.eps_fn(params, labels, guidance_scale)
         return self._ddim_scan(params, x, k_loop,
                                self.ddim_sampling_steps, 0, fn)
@@ -80,8 +79,7 @@ class DDIM(DDPM):
     def generate_samples(self, params: Params, rng: Array,
                          batch_size: int) -> Array:
         """S-step DDIM sampler (reference `ddim.py:128-152`)."""
-        k_init, k_loop = jax.random.split(rng)
-        x = jax.random.normal(k_init, self.sample_shape(batch_size))
+        k_loop, x = self._init_noise(rng, batch_size)
         return self._ddim_scan(params, x, k_loop, self.ddim_sampling_steps, 0)
 
     def generate_samples_with_intermediates(
@@ -89,8 +87,7 @@ class DDIM(DDPM):
             save_interval: int = 2) -> List[Array]:
         """DDIM sampler with frames every ``save_interval`` positions
         (reference `ddim.py:154-188`; its default save_interval is 2)."""
-        k_init, k_loop = jax.random.split(rng)
-        x = jax.random.normal(k_init, self.sample_shape(batch_size))
+        k_loop, x = self._init_noise(rng, batch_size)
         frames = [x]
         S = self.ddim_sampling_steps
         save_is = sorted({i for i in range(0, S, save_interval)} | {0},

@@ -100,12 +100,16 @@ class DDPM(BaseDiffusionModel):
         y = None
         if isinstance(x, dict):
             x, y = x["image"], x.get("label")
-        kt, kn, kd, ky = jax.random.split(rng, 4)
+        kt, kn, kd = jax.random.split(rng, 3)
         b = x.shape[0]
         t = jax.random.randint(kt, (b,), 0, self.num_timesteps)
         noise = jax.random.normal(kn, x.shape, x.dtype)
         noisy_x = q_sample(self.schedule, x, t, noise)
         if y is not None and self.num_classes > 0:
+            # fold_in (not a 4-way split) so the unconditional (t, noise,
+            # dropout) stream for a given seed is unchanged from
+            # unconditional-only builds — keeps old runs reproducible.
+            ky = jax.random.fold_in(rng, 7)
             drop = jax.random.bernoulli(ky, self.cfg_drop_prob, (b,))
             y = jnp.where(drop, self.num_classes, y)
         pred = self.apply(params, noisy_x, t, train=True, rng=kd, y=y)
@@ -115,8 +119,17 @@ class DDPM(BaseDiffusionModel):
     def eps_fn(self, params: Params, y: Optional[Array] = None,
                guidance_scale: float = 1.0):
         """Build ``eps(x, t_b)`` — plain, conditional, or CFG-guided
-        (ε_u + s·(ε_c − ε_u), Ho & Salimans 2022)."""
+        (ε_u + s·(ε_c − ε_u), Ho & Salimans 2022). Misuse raises rather
+        than silently returning wrong-mode samples."""
+        if y is not None and self.num_classes <= 0:
+            raise ValueError(
+                "labels passed to an unconditional model "
+                "(model_config.num_classes == 0)")
         if y is None:
+            if guidance_scale != 1.0:
+                raise ValueError(
+                    "guidance_scale requires labels (CFG needs a class "
+                    "to guide towards)")
             return lambda x, t_b: self.apply(params, x, t_b)
         if guidance_scale == 1.0:
             return lambda x, t_b: self.apply(params, x, t_b, y=y)
@@ -130,6 +143,15 @@ class DDPM(BaseDiffusionModel):
         return guided
 
     # -- sampling ---------------------------------------------------------
+    def _init_noise(self, rng: Array, batch_size: int):
+        """Shared sampler preamble: (loop_key, x_T). Every sampler splits
+        the rng ONCE for the initial noise, so a given rng yields the same
+        x_T across the ancestral/DDIM/CFG/DPM entry points (cross-sampler
+        comparisons depend on this single convention)."""
+        k_init, k_loop = jax.random.split(rng)
+        return k_loop, jax.random.normal(k_init,
+                                         self.sample_shape(batch_size))
+
     def _denoise_range(self, params: Params, x: Array, rng: Array,
                        t_hi: int, t_lo: int, eps_fn=None) -> Array:
         """Run reverse diffusion from t_hi−1 down to t_lo as one scan.
@@ -161,8 +183,7 @@ class DDPM(BaseDiffusionModel):
         """Class-conditional sampling with classifier-free guidance
         (superset — the reference is unconditional). ``labels`` is a
         [batch_size] int array; scale 1.0 = plain conditional."""
-        k_init, k_loop = jax.random.split(rng)
-        x = jax.random.normal(k_init, self.sample_shape(batch_size))
+        k_loop, x = self._init_noise(rng, batch_size)
         fn = self.eps_fn(params, labels, guidance_scale)
         return self._denoise_range(params, x, k_loop,
                                    self.num_timesteps, 0, fn)
@@ -172,8 +193,7 @@ class DDPM(BaseDiffusionModel):
                          batch_size: int) -> Array:
         """Full T-step ancestral sampler (reference `ddpm.py:237-255`),
         one fused on-device scan, NHWC output in [-1, 1]-ish range."""
-        k_init, k_loop = jax.random.split(rng)
-        x = jax.random.normal(k_init, self.sample_shape(batch_size))
+        k_loop, x = self._init_noise(rng, batch_size)
         return self._denoise_range(params, x, k_loop, self.num_timesteps, 0)
 
     @functools.partial(jax.jit,
@@ -196,14 +216,14 @@ class DDPM(BaseDiffusionModel):
         is pinned against an analytic Gaussian-posterior model in
         `tests/test_models.py::test_dpm_solver_second_order_convergence`.
         """
+        if not 2 <= num_steps <= self.num_timesteps:
+            raise ValueError(
+                f"num_steps must be in [2, {self.num_timesteps}] (got "
+                f"{num_steps}): 1 step runs no updates (returns raw "
+                "noise); more steps than T duplicates grid points")
         p = make_dpm_solver_params(self.schedule, num_steps)
         b = batch_size
-        # Same key convention as the other samplers: initial noise from
-        # the first split — the deterministic solver needs no loop keys,
-        # but sharing the convention makes cross-sampler comparisons
-        # (same rng → same x_T) possible.
-        k_init, _ = jax.random.split(rng)
-        x = jax.random.normal(k_init, self.sample_shape(b))
+        _, x = self._init_noise(rng, b)
 
         eps_fn = self.eps_fn(params, labels, guidance_scale)
 
@@ -242,8 +262,7 @@ class DDPM(BaseDiffusionModel):
         chunk boundaries are static Python ints, so each chunk is one scan
         and jit caching works across calls.
         """
-        k_init, k_loop = jax.random.split(rng)
-        x = jax.random.normal(k_init, self.sample_shape(batch_size))
+        k_loop, x = self._init_noise(rng, batch_size)
         frames = [x]
         T = self.num_timesteps
         # Save points: after processing t for t in {k·save_interval} ∪ {0}.

@@ -100,9 +100,15 @@ def main(argv=None) -> int:
         devices = devices[:args.num_devices]
     labels = None
     if args.class_id is not None:
-        if getattr(model, "num_classes", 0) <= 0:
+        n_cls = getattr(model, "num_classes", 0)
+        if n_cls <= 0:
             raise SystemExit("--class_id needs a conditional checkpoint "
                              "(model_config.num_classes > 0)")
+        if not 0 <= args.class_id < n_cls:
+            # Out-of-range ids would silently gather the NULL/unconditional
+            # embedding slot (XLA clamps OOB indices) — refuse instead.
+            raise SystemExit(f"--class_id must be in [0, {n_cls}) "
+                             f"(0-based), got {args.class_id}")
         import jax.numpy as jnp
         labels = jnp.full((args.num_samples,), args.class_id, jnp.int32)
     with sampling_scope(make_mesh(devices)):
