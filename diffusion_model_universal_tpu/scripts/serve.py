@@ -19,7 +19,9 @@ Endpoints:
     GET  /healthz             → 200 JSON {status, model, batch, devices}
     POST /generate            → PNG grid (default) or raw .npy
          body: {"num_samples": int ≤ serve_batch, "seed": int,
-                "format": "png" | "npy"}
+                "format": "png" | "npy",
+                "class_id": int (conditional ckpts; CFG),
+                "guidance_scale": float (default 3.0)}
 
 Usage:
     python -m diffusion_model_universal_tpu.scripts.serve \
@@ -79,11 +81,14 @@ class SamplerService:
         self.generate(self.serve_batch, seed=0)
         return time.perf_counter() - t0
 
-    def generate(self, num_samples: int, seed: int):
+    def generate(self, num_samples: int, seed: int,
+                 class_id=None, guidance_scale: float = 3.0):
         """Sample ``num_samples`` images (≤ serve_batch) as float32 NHWC
-        in [-1, 1]. Always dispatches the compiled serve_batch program —
-        static shapes, zero recompiles."""
+        in [-1, 1]. Always dispatches a compiled serve_batch program —
+        static shapes, zero recompiles per request (each distinct
+        ``guidance_scale`` compiles once, then caches)."""
         import jax
+        import jax.numpy as jnp
         import numpy as np
 
         from ..parallel.mesh import sampling_scope
@@ -94,8 +99,22 @@ class SamplerService:
                 f"(got {num_samples}); raise --serve_batch to serve more")
         key = jax.random.PRNGKey(seed)
         with sampling_scope(self.mesh):
-            batch = self.model.generate_samples(
-                self.params, key, self.serve_batch)
+            if class_id is not None:
+                n_cls = getattr(self.model, "num_classes", 0)
+                if n_cls <= 0:
+                    raise ValueError("model is unconditional "
+                                     "(num_classes == 0): class_id invalid")
+                if not 0 <= int(class_id) < n_cls:
+                    raise ValueError(
+                        f"class_id must be in [0, {n_cls}), got {class_id}")
+                labels = jnp.full((self.serve_batch,), int(class_id),
+                                  jnp.int32)
+                batch = self.model.generate_samples_cfg(
+                    self.params, key, self.serve_batch, labels,
+                    guidance_scale=float(guidance_scale))
+            else:
+                batch = self.model.generate_samples(
+                    self.params, key, self.serve_batch)
         with self._lock:
             self.requests += 1
         return np.asarray(batch[:num_samples], dtype=np.float32)
@@ -137,7 +156,9 @@ def make_handler(service: SamplerService, model_type: str):
                 num = int(req.get("num_samples", 1))
                 seed = int(req.get("seed", 0))
                 fmt = req.get("format", "png")
-                samples = service.generate(num, seed)
+                samples = service.generate(
+                    num, seed, class_id=req.get("class_id"),
+                    guidance_scale=req.get("guidance_scale", 3.0))
             except ValueError as e:
                 return self._send_json(400, {"error": str(e)})
             except Exception as e:  # surface, don't kill the server

@@ -99,3 +99,51 @@ def test_unknown_path_404(server):
         raise AssertionError("expected HTTP 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_generate_class_id_rejected_on_unconditional(server):
+    try:
+        _post(server, {"num_samples": 2, "class_id": 3})
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "unconditional" in json.loads(e.read())["error"]
+
+
+def test_conditional_server_cfg(tmp_path):
+    """A conditional checkpoint serves CFG requests: valid class_id →
+    PNG; out-of-range class_id → 400."""
+    cond = dict(TINY, num_classes=10)
+    model = DDPM(cond)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "model.ckpt")
+    model.save(ckpt, params)
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"model_config": cond}, f)
+    args = build_argparser().parse_args([
+        "--config", cfg_path, "--model_type", "ddpm",
+        "--checkpoint", ckpt, "--port", "0", "--serve_batch", "4"])
+    srv = make_server(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            _url(srv, "/generate"),
+            data=json.dumps({"num_samples": 2, "class_id": 5,
+                             "guidance_scale": 2.0}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=180) as r:
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+        req2 = urllib.request.Request(
+            _url(srv, "/generate"),
+            data=json.dumps({"num_samples": 2, "class_id": 10}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req2, timeout=60)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
