@@ -42,6 +42,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="Call jax.distributed.initialize() for multi-host")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", nargs="?", const="__default__", default=None,
+                   metavar="DIR",
+                   help="Capture a jax.profiler trace of a few real "
+                        "training steps before the run (TensorBoard "
+                        "Profile tab / xprof); optional trace directory")
+    p.add_argument("--profile_steps", type=int, default=5)
     return p
 
 
@@ -95,6 +101,13 @@ def main(argv=None) -> int:
         start_epoch = trainer.load_checkpoint(name)
         if is_main_process():
             print(f"Resumed from epoch {start_epoch}")
+
+    if args.profile and not args.eval_only:
+        path = trainer.profile(
+            steps=args.profile_steps,
+            log_dir=None if args.profile == "__default__" else args.profile)
+        if is_main_process():
+            print(f"Profiler trace written to {path}")
 
     try:
         if args.eval_only:

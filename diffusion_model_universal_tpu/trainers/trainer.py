@@ -323,6 +323,26 @@ class DiffusionTrainer:
                                     jnp.asarray(step, jnp.int32))
 
     # ------------------------------------------------------------------
+    def profile(self, steps: int = 5,
+                log_dir: Optional[str] = None) -> str:
+        """Capture a ``jax.profiler`` trace of ``steps`` REAL training
+        steps (state advances — these are legitimate optimizer steps on
+        the training data, not a throwaway workload). View with
+        TensorBoard's Profile tab / xprof. Replaces the reference's
+        wall-clock-only batch timing (`ddpm_trainer.py:374-402`)."""
+        from ..utils.profiling import trace
+        log_dir = log_dir or str(self.output_dir / "profile")
+        it = iter(self.train_loader)
+        # Warm the compile cache OUTSIDE the trace window so the trace
+        # shows steady-state steps, not one giant compile block.
+        self.step(next(it))
+        with trace(log_dir):
+            for _ in range(steps):
+                self.step(next(it))
+            jax.block_until_ready(self.state.params)
+        return log_dir
+
+    # ------------------------------------------------------------------
     def _on_preempt_signal(self, signum, frame) -> None:
         """SIGTERM handler active during train(): request a graceful
         save-and-exit at the next step boundary (signal-safe: only sets

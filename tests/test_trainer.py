@@ -413,3 +413,15 @@ def test_skip_nonfinite_updates(tmp_path):
         assert changed  # good batch updates again
     finally:
         tr.cleanup()
+
+
+def test_profile_writes_trace(trainer, tmp_path):
+    """trainer.profile captures a jax.profiler trace of real training
+    steps (reference analogue: wall-clock-only `_log_performance_metrics`,
+    `ddpm_trainer.py:374-402`)."""
+    from pathlib import Path
+    step0 = int(trainer.state.step)
+    d = trainer.profile(steps=2, log_dir=str(tmp_path / "trace"))
+    assert int(trainer.state.step) == step0 + 3  # 1 warmup + 2 traced
+    files = [f for f in Path(d).rglob("*") if f.is_file()]
+    assert files, "no trace files written"
