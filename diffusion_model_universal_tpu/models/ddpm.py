@@ -115,6 +115,21 @@ class DDPM(BaseDiffusionModel):
         pred = self.apply(params, noisy_x, t, train=True, rng=kd, y=y)
         return self.loss_fn(pred, noise, t)
 
+    def make_class_labels(self, class_id: int, batch_size: int) -> Array:
+        """Validate ``class_id`` and build a [batch_size] label array.
+
+        Raises ValueError on unconditional models or out-of-range ids
+        (XLA would otherwise clamp OOB indices onto the NULL embedding
+        slot and silently sample unconditionally). Shared by the
+        generate CLI and the HTTP server."""
+        if self.num_classes <= 0:
+            raise ValueError("model is unconditional "
+                             "(model_config.num_classes == 0)")
+        if not 0 <= int(class_id) < self.num_classes:
+            raise ValueError(f"class_id must be in [0, {self.num_classes}) "
+                             f"(0-based), got {class_id}")
+        return jnp.full((batch_size,), int(class_id), jnp.int32)
+
     # -- ε-prediction closures (shared by all samplers) -------------------
     def eps_fn(self, params: Params, y: Optional[Array] = None,
                guidance_scale: float = 1.0):

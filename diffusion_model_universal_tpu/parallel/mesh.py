@@ -79,6 +79,13 @@ def make_mesh(devices: Optional[Sequence[Any]] = None,
     return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS, MODEL_AXIS))
 
 
+def local_devices(limit: Optional[int] = None):
+    """``jax.devices()``, optionally restricted to the first ``limit``
+    (the ``--num_devices`` CLI contract shared by train/generate/serve)."""
+    devices = jax.devices()
+    return devices[:limit] if limit else devices
+
+
 def uses_activation_sharding(mesh: Mesh) -> bool:
     """True when the mesh actually shards activations (TP/SP axes > 1)."""
     return (mesh.shape.get(MODEL_AXIS, 1) > 1

@@ -94,23 +94,18 @@ def main(argv=None) -> int:
     key = jax.random.PRNGKey(args.seed)
     # Distribute generation over all local devices (DP batch sharding
     # via the UNet's "batch" logical axis; no-op on one device).
-    from ..parallel.mesh import make_mesh, sampling_scope
-    devices = jax.devices()
-    if args.num_devices:
-        devices = devices[:args.num_devices]
+    from ..parallel.mesh import local_devices, make_mesh, sampling_scope
+    devices = local_devices(args.num_devices)
     labels = None
     if args.class_id is not None:
-        n_cls = getattr(model, "num_classes", 0)
-        if n_cls <= 0:
-            raise SystemExit("--class_id needs a conditional checkpoint "
-                             "(model_config.num_classes > 0)")
-        if not 0 <= args.class_id < n_cls:
-            # Out-of-range ids would silently gather the NULL/unconditional
-            # embedding slot (XLA clamps OOB indices) — refuse instead.
-            raise SystemExit(f"--class_id must be in [0, {n_cls}) "
-                             f"(0-based), got {args.class_id}")
-        import jax.numpy as jnp
-        labels = jnp.full((args.num_samples,), args.class_id, jnp.int32)
+        if not hasattr(model, "make_class_labels"):
+            raise SystemExit(f"--class_id unsupported for "
+                             f"{args.model_type} models")
+        try:
+            labels = model.make_class_labels(args.class_id,
+                                             args.num_samples)
+        except ValueError as e:
+            raise SystemExit(f"--class_id: {e}")
     with sampling_scope(make_mesh(devices)):
         if args.sampler == "dpm++":
             if not hasattr(model, "generate_samples_dpm"):

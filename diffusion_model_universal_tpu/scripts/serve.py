@@ -88,7 +88,6 @@ class SamplerService:
         static shapes, zero recompiles per request (each distinct
         ``guidance_scale`` compiles once, then caches)."""
         import jax
-        import jax.numpy as jnp
         import numpy as np
 
         from ..parallel.mesh import sampling_scope
@@ -100,15 +99,11 @@ class SamplerService:
         key = jax.random.PRNGKey(seed)
         with sampling_scope(self.mesh):
             if class_id is not None:
-                n_cls = getattr(self.model, "num_classes", 0)
-                if n_cls <= 0:
-                    raise ValueError("model is unconditional "
-                                     "(num_classes == 0): class_id invalid")
-                if not 0 <= int(class_id) < n_cls:
+                if not hasattr(self.model, "make_class_labels"):
                     raise ValueError(
-                        f"class_id must be in [0, {n_cls}), got {class_id}")
-                labels = jnp.full((self.serve_batch,), int(class_id),
-                                  jnp.int32)
+                        "class_id unsupported for this model family")
+                labels = self.model.make_class_labels(class_id,
+                                                      self.serve_batch)
                 batch = self.model.generate_samples_cfg(
                     self.params, key, self.serve_batch, labels,
                     guidance_scale=float(guidance_scale))
@@ -183,7 +178,7 @@ def make_server(args) -> ThreadingHTTPServer:
     import jax
 
     from ..models import MODEL_REGISTRY
-    from ..parallel.mesh import make_mesh
+    from ..parallel.mesh import local_devices, make_mesh
     from ..utils.config import load_config, resolve_interpolations
     from .generate import load_params
 
@@ -192,9 +187,7 @@ def make_server(args) -> ThreadingHTTPServer:
     model = MODEL_REGISTRY[args.model_type](model_cfg)
     params = load_params(model, args.checkpoint, args.ema)
 
-    devices = jax.devices()
-    if args.num_devices:
-        devices = devices[:args.num_devices]
+    devices = local_devices(args.num_devices)
     service = SamplerService(model, params, args.serve_batch,
                              make_mesh(devices))
     srv = ThreadingHTTPServer((args.host, args.port),

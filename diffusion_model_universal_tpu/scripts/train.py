@@ -60,7 +60,7 @@ def main(argv=None) -> int:
 
     from ..datasets import get_dataset
     from ..models import MODEL_REGISTRY
-    from ..parallel.mesh import is_main_process, make_mesh
+    from ..parallel.mesh import is_main_process, local_devices, make_mesh
     from ..trainers import TRAINER_REGISTRY
     from ..utils.config import load_config, print_config, resolve_interpolations
 
@@ -68,9 +68,7 @@ def main(argv=None) -> int:
     if is_main_process():
         print_config("Main Configuration", config)
 
-    devices = jax.devices()
-    if args.num_devices:
-        devices = devices[:args.num_devices]
+    devices = local_devices(args.num_devices)
     # Parallelism layout from the config's `distributed` section (the
     # reference's section only held the NCCL backend name,
     # `configs/ddpm_config.yaml:135-137`; here it picks mesh axes):
