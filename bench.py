@@ -69,20 +69,30 @@ def bench_sampler(peak: float) -> None:
            "model_channels": 128, "remat": False}
     key = jax.random.PRNGKey(0)
 
-    dpm_model = DDPM(cfg)
-    for name, model, steps, fn_of in (
-            ("DDPM 1000-step sampler (64x64, B=64)", DDPM(cfg), 1000,
-             None),
-            ("DDIM 50-step sampler (64x64, B=64)",
-             DDIM({**cfg, "ddim_sampling_steps": 50}), 50, None),
-            ("DPM-Solver++(2M) 20-step sampler (64x64, B=64)", dpm_model,
+    import jax.numpy as jnp
+    import numpy as np
+
+    # ONE DDPM instance serves the ancestral AND DPM++ lines (shared
+    # in-process jit caches), and ONE UNet-apply FLOP count feeds every
+    # sampler's roofline (all three run the identical denoiser; XLA cost
+    # analysis counts a lax.scan body once, so roofline = apply × steps).
+    # Keeps bench wall-clock bounded under the tunneled compile service.
+    ddpm = DDPM(cfg)
+    ddim = DDIM({**cfg, "ddim_sampling_steps": 50})
+    params = ddpm.init_params(key)
+    xs = jnp.zeros((batch, 64, 64, 3), jnp.float32)
+    ts = jnp.zeros((batch,), jnp.int32)
+    apply_flops = _flops_of(jax.jit(ddpm.apply), params, xs, ts)
+
+    for name, steps, fn in (
+            ("DDPM 1000-step sampler (64x64, B=64)", 1000,
+             lambda p, k: ddpm.generate_samples(p, k, batch)),
+            ("DDIM 50-step sampler (64x64, B=64)", 50,
+             lambda p, k: ddim.generate_samples(p, k, batch)),
+            ("DPM-Solver++(2M) 20-step sampler (64x64, B=64)",
              19,   # S-1 model evals
-             lambda p, k: dpm_model.generate_samples_dpm(
-                 p, k, 64, num_steps=20))):
-        import numpy as np
-        params = model.init_params(key)
-        fn = fn_of if fn_of is not None else (
-            lambda p, k: model.generate_samples(p, k, batch))
+             lambda p, k: ddpm.generate_samples_dpm(
+                 p, k, batch, num_steps=20))):
         _ = np.asarray(fn(params, key))     # compile + run
         n = 3 if steps <= 50 else 1
         t0 = time.perf_counter()
@@ -92,13 +102,7 @@ def bench_sampler(peak: float) -> None:
         # return early under tunneled runtimes (BENCH_NOTES / memory).
         _ = np.asarray(out)
         dt = (time.perf_counter() - t0) / n
-        # Roofline: XLA cost analysis counts a lax.scan body ONCE, so use
-        # one UNet apply × the number of sampler steps.
-        import jax.numpy as jnp
-        xs = jnp.zeros((batch, 64, 64, 3), jnp.float32)
-        ts = jnp.zeros((batch,), jnp.int32)
-        flops = _flops_of(jax.jit(model.apply), params, xs, ts) * steps
-        mfu = flops / dt / peak if flops else 0.0
+        mfu = apply_flops * steps / dt / peak if apply_flops else 0.0
         print(json.dumps({
             "metric": name,
             "value": round(dt, 3),
