@@ -126,3 +126,36 @@ def test_cfg_scale_one_equals_unconditional_at_init():
     sd = m.generate_samples_dpm(params, key, 4, num_steps=5,
                                 labels=jnp.arange(4), guidance_scale=2.0)
     assert np.isfinite(np.asarray(sd)).all()
+
+
+def test_make_class_labels_validation():
+    """Shared label builder (generate CLI + HTTP server): valid ids give
+    a full [B] array; unconditional models and out-of-range ids raise
+    (XLA would clamp OOB gathers onto the NULL slot silently)."""
+    import pytest
+
+    m = DDPM(COND)
+    lab = m.make_class_labels(3, 5)
+    assert lab.shape == (5,) and int(lab[0]) == 3
+    with pytest.raises(ValueError, match=r"\[0, 10\)"):
+        m.make_class_labels(10, 5)
+    with pytest.raises(ValueError, match=r"\[0, 10\)"):
+        m.make_class_labels(-1, 5)
+    uncond = DDPM({**COND, "num_classes": 0})
+    with pytest.raises(ValueError, match="unconditional"):
+        uncond.make_class_labels(0, 5)
+
+
+def test_eps_fn_misuse_raises():
+    """eps_fn refuses wrong-mode sampling instead of silently returning
+    unconditional samples."""
+    import pytest
+
+    m = DDPM(COND)
+    params = m.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="guidance_scale requires labels"):
+        m.eps_fn(params, None, guidance_scale=2.0)
+    uncond = DDPM({**COND, "num_classes": 0})
+    pu = uncond.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="unconditional"):
+        uncond.eps_fn(pu, jnp.arange(4))

@@ -310,3 +310,10 @@ def test_sharded_checkpoint_roundtrip_fsdp_mesh(tmp_path):
     assert np.isfinite(float(m2["loss"]))
     tr.cleanup()
     tr2.cleanup()
+
+
+def test_local_devices_helper():
+    """--num_devices contract shared by train/generate/serve CLIs."""
+    assert len(M.local_devices()) == 8
+    assert len(M.local_devices(None)) == 8
+    assert M.local_devices(3) == jax.devices()[:3]
