@@ -112,11 +112,14 @@ def main(argv=None) -> int:
                 raise SystemExit(
                     f"--sampler dpm++ needs an ε-prediction model "
                     f"(ddpm/ddim), got {args.model_type}")
-            samples = np.asarray(model.generate_samples_dpm(
-                params, key, args.num_samples,
-                num_steps=args.sampler_steps, labels=labels,
-                guidance_scale=args.guidance_scale if labels is not None
-                else 1.0))
+            try:
+                samples = np.asarray(model.generate_samples_dpm(
+                    params, key, args.num_samples,
+                    num_steps=args.sampler_steps, labels=labels,
+                    guidance_scale=args.guidance_scale if labels is not None
+                    else 1.0))
+            except ValueError as e:  # e.g. --sampler_steps out of [2, T]
+                raise SystemExit(f"--sampler dpm++: {e}")
         elif labels is not None:
             samples = np.asarray(model.generate_samples_cfg(
                 params, key, args.num_samples, labels,

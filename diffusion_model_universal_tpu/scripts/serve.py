@@ -151,10 +151,15 @@ def make_handler(service: SamplerService, model_type: str):
                 num = int(req.get("num_samples", 1))
                 seed = int(req.get("seed", 0))
                 fmt = req.get("format", "png")
+                if fmt not in ("png", "npy"):
+                    raise ValueError(
+                        f"format must be 'png' or 'npy' (got {fmt!r})")
                 samples = service.generate(
                     num, seed, class_id=req.get("class_id"),
                     guidance_scale=req.get("guidance_scale", 3.0))
-            except ValueError as e:
+            except (ValueError, TypeError) as e:
+                # TypeError covers malformed field types (null num_samples,
+                # string guidance_scale, ...) — client errors, not 500s.
                 return self._send_json(400, {"error": str(e)})
             except Exception as e:  # surface, don't kill the server
                 return self._send_json(500, {"error": repr(e)})

@@ -93,6 +93,9 @@ def make_optimizer(training_cfg: Dict[str, Any], steps_per_epoch: int,
     # looping forever. Off by default — parity with the reference.
     skip = training_cfg.get("skip_nonfinite_updates", 0)
     if skip:
-        opt = optax.apply_if_finite(
-            opt, max_consecutive_errors=int(skip) if int(skip) > 1 else 100)
+        # Booleans (`true` in YAML) get the 100-step default; integers are
+        # honored LITERALLY — `skip_nonfinite_updates: 1` means fail fast
+        # after one consecutive non-finite step, not 100.
+        max_errors = 100 if isinstance(skip, bool) else int(skip)
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=max_errors)
     return opt, schedule

@@ -229,13 +229,41 @@ class DiffusionTrainer:
             out_shardings=(self._state_sharding, None)))
         self.scan_steps = int(self.training_cfg.get("scan_steps", 1))
 
-        def eval_step(params, batch, key):
-            return model.loss_function(params, batch, key)
+        def eval_step(params, batch, mask, key, offset):
+            """Masked per-sample eval: (Σ maskᵢ·lossᵢ, Σ maskᵢ).
 
+            Per-sample losses via vmap over a batch-1 ``loss_function``
+            (XLA re-batches the vmapped UNet, so the compiled program
+            matches the batched forward) let ragged final batches be
+            PADDED (repeat last sample) and the pads masked out — every
+            val/test sample counts with weight 1, unlike a trim, and no
+            duplicate counts twice. Per-sample eval keys derive from the
+            GLOBAL dataset index (`fold_in(key, offset + i)`), not from
+            the batch partitioning, so the eval loss on a fixed set is
+            bit-for-bit invariant to batch_size and mesh layout.
+            Reference behavior: every sample counts
+            (`ddpm_trainer.py:669-725`). Returns replicated scalars so
+            multi-host processes can read them without an allgather.
+            """
+            n = jax.tree_util.tree_leaves(batch)[0].shape[0]
+
+            def one(b, i):
+                k = jax.random.fold_in(key, i)
+                return model.loss_function(
+                    params, jax.tree_util.tree_map(lambda x: x[None], b), k)
+
+            losses = jax.vmap(one)(batch, offset + jnp.arange(n))
+            mask = mask.astype(jnp.float32)
+            return jnp.sum(losses * mask), jnp.sum(mask)
+
+        self._mask_sharding = NamedSharding(
+            self.mesh, P(self._batch_sharding.spec[0]
+                         if len(self._batch_sharding.spec) else None))
         self.eval_step = _scoped(jax.jit(
             eval_step,
             in_shardings=(self._state_sharding.params,
-                          self._batch_sharding, None)))
+                          self._batch_sharding, self._mask_sharding,
+                          None, None)))
 
         # ---- logging / checkpointing ------------------------------------
         output_cfg = self.config.get("output", {}) or {}
@@ -282,6 +310,14 @@ class DiffusionTrainer:
                 lambda b: jax.make_array_from_process_local_data(
                     self._batch_sharding, np.asarray(b)), batch)
         return jax.device_put(batch, self._batch_sharding)
+
+    def _global_mask(self, mask: np.ndarray):
+        """Place a per-sample [B] weight vector alongside a global batch
+        (same data-axis sharding, same process-local assembly)."""
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                self._mask_sharding, np.asarray(mask))
+        return jax.device_put(mask, self._mask_sharding)
 
     def _step_key(self, step: int, salt: int = 0):
         return jax.random.fold_in(
@@ -361,6 +397,26 @@ class DiffusionTrainer:
         except ValueError:  # not in the main thread
             return None
 
+    def _preemption_agreed(self) -> bool:
+        """Cross-process agreement on the preemption flag.
+
+        The flag is process-local (a SIGTERM handler), but Orbax saves are
+        a sync barrier across EVERY process: if one host entered the save
+        branch while the others dispatched the next step's collectives,
+        the run would deadlock and the preemption checkpoint would be
+        lost. At each step boundary all processes contribute their local
+        flag and act on the OR, so every host takes the save-and-exit
+        branch at the same step. Zero-cost single-process (the only
+        tested path); in a multi-host run the allgather is ~4 bytes over
+        DCN per step boundary — noise next to a train step.
+        """
+        if jax.process_count() == 1:
+            return self.preempted
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.asarray(self.preempted, np.int32))
+        return bool(np.max(flags))
+
     def _save_preempt_checkpoint(self, state, epoch: int,
                                  history: Dict[str, float]):
         """Persist a resumable checkpoint after a preemption request."""
@@ -422,7 +478,7 @@ class DiffusionTrainer:
                         if self.val_interval and \
                                 step % self.val_interval < self.scan_steps:
                             self._validate_and_save_best(state, step, epoch)
-                        if self.preempted:
+                        if self._preemption_agreed():
                             self._save_preempt_checkpoint(state, epoch,
                                                           history)
                             return history
@@ -441,7 +497,7 @@ class DiffusionTrainer:
                         if self.val_interval and \
                                 step % self.val_interval == 0:
                             self._validate_and_save_best(state, step, epoch)
-                        if self.preempted:
+                        if self._preemption_agreed():
                             self._save_preempt_checkpoint(state, epoch,
                                                           history)
                             return history
@@ -490,7 +546,7 @@ class DiffusionTrainer:
                     step += 1
                     if self.val_interval and step % self.val_interval == 0:
                         self._validate_and_save_best(state, step, epoch)
-                    if self.preempted:
+                    if self._preemption_agreed():
                         self._save_preempt_checkpoint(state, epoch, history)
                         return history
 
@@ -546,23 +602,42 @@ class DiffusionTrainer:
 
     # ------------------------------------------------------------------
     def _run_eval(self, loader: Iterable, salt: int) -> float:
+        """Weighted mean loss over EVERY sample in the loader.
+
+        Ragged final batches are padded up to a multiple of the data axis
+        (repeat of the last sample) and the pads masked out inside
+        ``eval_step`` — no sample is dropped (the reference's
+        DistributedSampler semantics, `ddpm_trainer.py:669-725`) and no
+        duplicate is counted. Accumulating (Σ masked loss, Σ mask) also
+        weights uneven batch sizes correctly, where a mean-of-batch-means
+        would not.
+        """
         data_size = self.mesh.shape.get("data", 1)
-        losses = []
-        for i, batch in enumerate(loader):
-            # Trim ragged final batches to a multiple of the data axis so
-            # the batch sharding stays valid (the DistributedSampler in the
-            # reference pads instead; trimming keeps eval unbiased-enough
-            # without duplicate samples).
-            n = (self._batch_count(batch) // data_size) * data_size
+        base_key = jax.random.PRNGKey(self.seed + 17 * salt)
+        total, count, offset = 0.0, 0.0, 0
+        for batch in loader:
+            n = self._batch_count(batch)
             if n == 0:
                 continue
-            batch = jax.tree_util.tree_map(lambda b: b[:n], batch)
-            key = self._step_key(i, salt=salt)
-            losses.append(self.eval_step(self.state.params,
-                                         self._global_batch(batch), key))
-        if not losses:
+            pad = (-n) % data_size
+            if pad:
+                batch = jax.tree_util.tree_map(
+                    lambda b: np.concatenate(
+                        [np.asarray(b),
+                         np.repeat(np.asarray(b)[-1:], pad, axis=0)]),
+                    batch)
+            mask = np.concatenate([np.ones(n, np.float32),
+                                   np.zeros(pad, np.float32)])
+            s, c = self.eval_step(self.state.params,
+                                  self._global_batch(batch),
+                                  self._global_mask(mask), base_key,
+                                  jnp.asarray(offset, jnp.int32))
+            total += float(s)
+            count += float(c)
+            offset += n
+        if count == 0.0:
             return float("inf")
-        return float(jnp.mean(jnp.stack(losses)))
+        return total / count
 
     def validate(self) -> float:
         """Mean validation loss (reference `validate`,

@@ -317,3 +317,28 @@ def test_local_devices_helper():
     assert len(M.local_devices()) == 8
     assert len(M.local_devices(None)) == 8
     assert M.local_devices(3) == jax.devices()[:3]
+
+
+def test_eval_counts_every_sample_any_layout(tmp_path):
+    """VERDICT r1 #8: eval must pad+mask ragged batches (not trim), so the
+    val/test loss covers EVERY sample and is invariant to batch_size and
+    data-axis size on a fixed, unshuffled set (50 samples: ragged under
+    both batch 16 on 8 devices and batch 12 on 1 device)."""
+    cfg = _config(tmp_path)
+    imgs = make_synthetic(num_samples=50, image_size=32)
+    aug = make_augment_fn([{"name": "normalize"}], [0.5] * 3, [0.5] * 3,
+                          train=False)
+    model = DDPM(TINY)
+    vals = []
+    for bs, mesh in [(16, M.make_mesh()),
+                     (16, M.make_mesh(jax.devices()[:1])),
+                     (12, M.make_mesh()),
+                     (50, M.make_mesh(jax.devices()[:2]))]:
+        loader = DeviceDataLoader(imgs, batch_size=bs, augment=aug,
+                                  shuffle=False, drop_last=False)
+        tr = DDPMTrainer(model, loader, loader, loader, cfg, mesh=mesh)
+        vals.append(tr.validate())
+        tr.cleanup()
+    assert np.isfinite(vals[0])
+    for v in vals[1:]:
+        np.testing.assert_allclose(vals[0], v, rtol=1e-5)

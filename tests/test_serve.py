@@ -93,6 +93,20 @@ def test_generate_rejects_oversized_batch(server):
         assert "serve_batch" in json.loads(e.read())["error"]
 
 
+def test_generate_rejects_bad_format_and_types(server):
+    """ADVICE r1: unknown "format" must 400 (not silently fall through to
+    PNG), and malformed field TYPES (null num_samples, string
+    guidance_scale) must 400 as client errors, not 500."""
+    for body in ({"num_samples": 2, "format": "jpeg"},
+                 {"num_samples": None},
+                 {"num_samples": 2, "class_id": 0, "guidance_scale": "x"}):
+        try:
+            _post(server, body)
+            raise AssertionError(f"expected HTTP 400 for {body}")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, body
+
+
 def test_unknown_path_404(server):
     try:
         urllib.request.urlopen(_url(server, "/nope"), timeout=30)

@@ -415,6 +415,30 @@ def test_skip_nonfinite_updates(tmp_path):
         tr.cleanup()
 
 
+def test_skip_nonfinite_threshold_semantics():
+    """ADVICE r1: `skip_nonfinite_updates: 1` is honored literally (ONE
+    skipped step, then the non-finite update passes through → fail
+    fast/visibly); boolean true gets the 100-consecutive-step default."""
+    import jax.numpy as jnp
+    from diffusion_model_universal_tpu.trainers.optim import make_optimizer
+
+    params = {"w": jnp.zeros((2,))}
+    nan_grads = {"w": jnp.full((2,), jnp.nan)}
+
+    def finite_flags(skip_value, n_bad=2):
+        opt, _ = make_optimizer({"skip_nonfinite_updates": skip_value,
+                                 "learning_rate": 1e-3}, 1, 1)
+        state = opt.init(params)
+        flags = []
+        for _ in range(n_bad):
+            u, state = opt.update(nan_grads, state, params)
+            flags.append(bool(np.all(np.isfinite(np.asarray(u["w"])))))
+        return flags
+
+    assert finite_flags(1) == [True, False]     # literal threshold of 1
+    assert finite_flags(True) == [True, True]   # boolean → 100 default
+
+
 def test_profile_writes_trace(trainer, tmp_path):
     """trainer.profile captures a jax.profiler trace of real training
     steps (reference analogue: wall-clock-only `_log_performance_metrics`,
