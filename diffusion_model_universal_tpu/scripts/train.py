@@ -144,7 +144,11 @@ def main(argv=None) -> int:
                     "batch_size",
                     config.get("training", {}).get("batch_size", 128)),
                 use_inception=bench_cfg.get("use_inception", True),
-                metrics=bench_cfg.get("metrics"), mesh=mesh)
+                metrics=bench_cfg.get("metrics"), mesh=mesh,
+                # "unpaired" = reference-compat SSIM/PSNR vs arbitrary
+                # real batches; "reconstruction" = meaningful denoising
+                # pairing (see DiffusionBenchmark docstring).
+                pairing=bench_cfg.get("pairing", "unpaired"))
             out_dir = Path(config.get("output", {}).get(
                 "output_dir", "outputs"))
             out_dir.mkdir(parents=True, exist_ok=True)

@@ -110,6 +110,16 @@ class DiffusionTrainer:
         self.gradient_logging_freq = int(
             (self.config.get("logging", {}) or {}).get(
                 "gradient_logging_freq", 100))
+        # Per-parameter grad/weight + schedule HISTOGRAMS every
+        # gradient_logging_freq steps (reference `_log_model_gradients` /
+        # `_log_diffusion_metrics`, `ddpm_trainer.py:324-372,437-454`).
+        # Off by default: each event pulls the full gradient/weight trees
+        # to the host (~8 bytes/param over a tunneled runtime), which the
+        # norms-only default avoids. Single-process only — multi-host
+        # global arrays are not host-addressable from one process.
+        self.track_histograms = bool(
+            (self.config.get("logging", {}) or {}).get(
+                "track_histograms", False)) and jax.process_count() == 1
 
         steps_per_epoch = max(len(train_loader), 1)
         self.steps_per_epoch = steps_per_epoch
@@ -264,6 +274,18 @@ class DiffusionTrainer:
             in_shardings=(self._state_sharding.params,
                           self._batch_sharding, self._mask_sharding,
                           None, None)))
+
+        # Gradient recomputation for histogram logging: one extra
+        # fwd+bwd per logging event (~1% overhead at the default
+        # cadence) keeps the hot train_step free of full-gradient
+        # outputs the rest of the time.
+        def grads_for_logging(params, batch, key):
+            return jax.grad(model.loss_function)(params, batch, key)
+
+        self._grads_for_logging = _scoped(jax.jit(
+            grads_for_logging,
+            in_shardings=(self._state_sharding.params,
+                          self._batch_sharding, None)))
 
         # ---- logging / checkpointing ------------------------------------
         output_cfg = self.config.get("output", {}) or {}
@@ -541,6 +563,21 @@ class DiffusionTrainer:
                                 metrics["param_norm"]))
                             log.update(self.logger.optimizer_metrics(
                                 state.opt_state, self.lr_schedule(step)))
+                            if self.track_histograms:
+                                # Same batch+key as the step just taken,
+                                # evaluated at the post-update params
+                                # (the step donated its input state).
+                                grads = self._grads_for_logging(
+                                    state.params, self._global_batch(batch),
+                                    key)
+                                log.update(self.logger.model_histograms(
+                                    grads, state.params))
+                                if hasattr(self.model, "schedule"):
+                                    # β/α/ᾱ histograms at cadence
+                                    # (`ddpm_trainer.py:437-454`).
+                                    log.update(
+                                        self.logger.diffusion_metrics(
+                                            self.model.schedule))
                         self.logger.log(log, step)
 
                     step += 1

@@ -237,36 +237,101 @@ class DiffusionBenchmark:
     """End-to-end evaluation harness (reference `DiffusionBenchmark`,
     `benchmarks.py:165-278`): collects real-set features, generates
     ``n_samples`` with the model, and reports
-    {fid, is_mean, is_std, ssim, psnr}."""
+    {fid, is_mean, is_std, ssim, psnr}.
+
+    SSIM/PSNR pairing semantics (``pairing``):
+
+    * ``"unpaired"`` (default — reference-compat quirk): generated
+      samples are compared against ARBITRARY real batches (``i % len``),
+      exactly as the reference does (`benchmarks.py:259-270`). For an
+      unconditional generator there is no correspondence between a
+      sample and "its" real image, so these numbers measure nothing
+      about reconstruction — they hover near the SSIM/PSNR of two
+      random images from the data distribution. Kept because the
+      reference reports them and users may compare harnesses; FID/IS
+      are the meaningful sample-quality metrics in this mode.
+    * ``"reconstruction"``: a meaningful pairing — each real test image
+      x is noised to t = ``recon_t_frac``·T via q-sample and the model's
+      one-shot x̂₀ estimate (from its ε-prediction) is scored against x.
+      This measures the denoiser's actual reconstruction fidelity;
+      requires an ε-prediction family (ddpm/ddim).
+    """
 
     def __init__(self, n_samples: int = 2000, batch_size: int = 128,
                  use_inception: bool = False, seed: int = 0,
-                 metrics: Optional[Dict[str, bool]] = None, mesh=None):
+                 metrics: Optional[Dict[str, bool]] = None, mesh=None,
+                 pairing: str = "unpaired", recon_t_frac: float = 0.25):
+        if pairing not in ("unpaired", "reconstruction"):
+            raise ValueError(
+                f"pairing must be 'unpaired' or 'reconstruction' "
+                f"(got {pairing!r})")
         self.n_samples = n_samples
         self.batch_size = batch_size
         self.extractor = make_extractor(use_inception, seed)
         self.seed = seed
         self.metrics = metrics or {"fid": True, "inception_score": True,
                                    "ssim": True, "psnr": True}
+        self.pairing = pairing
+        self.recon_t_frac = recon_t_frac
         # Optional device mesh: sample generation (the dominant cost of a
         # 50k-sample FID run) is distributed over it — DP across "data"
         # plus any TP/SP axes (`parallel.mesh.sampling_scope`).
         self.mesh = mesh
+
+    def _make_reconstruct(self, model, params):
+        """One-shot denoising reconstruction x → x̂₀ at a fixed mid-way
+        timestep: x_t = q(x, t), x̂₀ = (x_t − √(1−ᾱ_t)·ε̂)/√ᾱ_t, clipped
+        to [-1, 1] (the DDIM x₀-estimate, `models/ddim.py:107-111` in the
+        reference, evaluated once instead of inside a sampler loop)."""
+        if not (hasattr(model, "schedule") and hasattr(model, "eps_fn")):
+            raise ValueError(
+                "pairing='reconstruction' needs an ε-prediction model "
+                "with a noise schedule (ddpm/ddim); use "
+                "pairing='unpaired' for score/energy families")
+        from ..models.schedules import q_sample
+        t_val = max(int(model.num_timesteps * self.recon_t_frac), 1)
+
+        @jax.jit
+        def reconstruct(x, key):
+            t = jnp.full((x.shape[0],), t_val, jnp.int32)
+            noise = jax.random.normal(key, x.shape, x.dtype)
+            xt = q_sample(model.schedule, x, t, noise)
+            eps = model.apply(params, xt, t)
+            ac = model.schedule.alphas_cumprod[t_val]
+            x0 = (xt - jnp.sqrt(1.0 - ac) * eps) / jnp.sqrt(ac)
+            return jnp.clip(x0, -1.0, 1.0)
+
+        return reconstruct
 
     def evaluate(self, model, params, test_loader: Iterable,
                  sample_dir: str = None) -> Dict[str, float]:
         """Run the full evaluation; optionally save generated sample grids
         to ``sample_dir`` (reference ``benchmark.save_samples`` /
         ``sample_dir`` config keys, `configs/ddpm_config.yaml:76-78`)."""
+        want_ssim = self.metrics.get("ssim", True)
+        want_psnr = self.metrics.get("psnr", True)
+        recon = None
+        if self.pairing == "reconstruction" and (want_ssim or want_psnr):
+            recon = self._make_reconstruct(model, params)
+        rkey = jax.random.PRNGKey(self.seed + 1)
+
         real_feats, real_batches = [], []
+        ssim_vals, psnr_vals = [], []
         for batch in test_loader:
             feats, _ = self.extractor(batch)
             real_feats.append(np.asarray(feats))
             real_batches.append(np.asarray(batch))
+            if recon is not None:
+                rkey, sub = jax.random.split(rkey)
+                x = jnp.asarray(batch)
+                x0 = recon(x, sub)
+                if want_ssim:
+                    ssim_vals.append(float(ssim(x0, x)))
+                if want_psnr:
+                    psnr_vals.append(float(psnr(x0, x)))
         real_feats = np.concatenate(real_feats) if real_feats else None
 
         fake_feats, fake_logits = [], []
-        ssim_vals, psnr_vals = [], []
         key = jax.random.PRNGKey(self.seed)
         remaining = self.n_samples
         i = 0
@@ -282,13 +347,15 @@ class DiffusionBenchmark:
             feats, logits = self.extractor(samples)
             fake_feats.append(np.asarray(feats))
             fake_logits.append(np.asarray(logits))
-            if real_batches:
+            if real_batches and recon is None:
+                # "unpaired" reference-compat mode: see the class
+                # docstring — arbitrary real batches, no correspondence.
                 ref = real_batches[i % len(real_batches)]
                 n = min(len(ref), bs)
-                if self.metrics.get("ssim", True):
+                if want_ssim:
                     ssim_vals.append(float(ssim(samples[:n],
                                                 jnp.asarray(ref[:n]))))
-                if self.metrics.get("psnr", True):
+                if want_psnr:
                     psnr_vals.append(float(psnr(samples[:n],
                                                 jnp.asarray(ref[:n]))))
             remaining -= bs

@@ -147,6 +147,25 @@ class MetricLogger:
                 out[f"gradients/{name}_norm"] = float(v)
         return out
 
+    def model_histograms(self, grads: Any, params: Any) -> Dict[str, Any]:
+        """Per-parameter gradient + weight HISTOGRAM payloads (reference
+        `_log_model_gradients`, `ddpm_trainer.py:324-372`, which calls
+        wandb.Histogram / tb.add_histogram on each tensor).
+
+        Returns ``{tag: flat ndarray}`` — :meth:`log` routes any
+        size>1 array to the histogram sinks (TB ``add_histogram``,
+        ``wandb.Histogram``) and writes mean/std scalars to JSONL.
+        Gated by ``logging.track_histograms`` in the trainer: pulling
+        every gradient/weight tensor to the host costs ~4 bytes/param
+        per logging event (the reference pays the same GPU→host cost).
+        """
+        out: Dict[str, Any] = {}
+        for prefix, tree in (("gradients", grads), ("weights", params)):
+            for path, v in jax.tree_util.tree_leaves_with_path(tree):
+                name = "/".join(str(getattr(k, "key", k)) for k in path)
+                out[f"{prefix}/{name}_hist"] = np.asarray(v).ravel()
+        return out
+
     def optimizer_metrics(self, opt_state: Any, lr: float) -> Dict[str, Any]:
         """Adam moment averages + LR (reference `_log_optimizer_stats`,
         `ddpm_trainer.py:404-435`).

@@ -415,6 +415,34 @@ def test_skip_nonfinite_updates(tmp_path):
         tr.cleanup()
 
 
+def test_histogram_logging_wired(tmp_path):
+    """VERDICT r1 #7: with `logging.track_histograms`, the loop must emit
+    per-parameter gradient + weight histogram payloads and the β/α/ᾱ
+    schedule histograms at the gradient_logging_freq cadence (reference
+    `_log_model_gradients`/`_log_diffusion_metrics`,
+    `ddpm_trainer.py:324-372,437-454`). The JSONL sink records each
+    histogram's mean/std; TB/wandb sinks receive the raw arrays."""
+    import json
+    cfg = _tiny_config(tmp_path, logging={"track_histograms": True})
+    train, val, test = get_dataset(cfg)
+    tr = DDPMTrainer(DDPM(cfg["model_config"]), train, val, test, cfg)
+    try:
+        tr.train(1)
+        lines = [json.loads(l) for l in
+                 (tr.output_dir / "metrics.jsonl").read_text().splitlines()]
+        keys = set().union(*(l.keys() for l in lines))
+        grad_hists = [k for k in keys if k.startswith("gradients/")
+                      and "_hist/mean" in k]
+        weight_hists = [k for k in keys if k.startswith("weights/")
+                        and "_hist/mean" in k]
+        assert grad_hists, "no per-parameter gradient histograms"
+        assert weight_hists, "no per-parameter weight histograms"
+        assert len(grad_hists) == len(weight_hists)
+        assert "diffusion/beta/std" in keys  # schedule histograms at cadence
+    finally:
+        tr.cleanup()
+
+
 def test_skip_nonfinite_threshold_semantics():
     """ADVICE r1: `skip_nonfinite_updates: 1` is honored literally (ONE
     skipped step, then the non-finite update passes through → fail
