@@ -1,0 +1,159 @@
+"""Reference-checkpoint importer: torch NCHW state_dict → flax params.
+
+Makes "drop-in" reach past the config/CLI surface: a user's TRAINED
+reference model (`/root/reference/models/base_model.py:119-133` saves
+``{model_state_dict, config}``; the trainer checkpoint additionally holds
+``ema_model_state_dict``, `/root/reference/trainers/ddpm_trainer.py:869-877`)
+converts losslessly into this framework's parameter tree and samples
+through the TPU-native samplers.
+
+Weight-layout contract (each pinned numerically in
+`tests/test_golden_torch.py::test_full_unet_golden_parity_and_import`):
+
+* Conv2d      ``[O, I, kh, kw]`` → flax ``[kh, kw, I, O]``
+* ConvTranspose2d ``[I, O, kh, kw]`` → spatial FLIP then ``[kh, kw, I, O]``
+  (torch's conv_transpose correlates with the flipped kernel relative to
+  flax's ``transpose_kernel=False`` convolution form)
+* Linear      ``[O, I]`` → ``[I, O]``
+* GroupNorm   ``weight``/``bias`` → ``scale``/``bias``
+
+The reference parameterization uses conv biases everywhere, so imported
+models must be built with ``model_config.conv_bias: true`` (the converter
+stamps it into the emitted config). Schedule buffers (betas/alphas/
+alphas_cumprod, DDIM's ddim_* tables) are NOT imported — this framework
+recomputes them from the config, which also repairs the reference's DDIM
+buffer-misindexing defect (SURVEY.md D4) for imported models.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+Tree = Dict[str, Any]
+
+
+def _conv(sd: Dict[str, np.ndarray], p: str) -> Tree:
+    out = {"kernel": np.ascontiguousarray(
+        sd[f"{p}.weight"].transpose(2, 3, 1, 0))}
+    if f"{p}.bias" in sd:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def _conv_t(sd: Dict[str, np.ndarray], p: str) -> Tree:
+    w = sd[f"{p}.weight"]  # [I, O, kh, kw]
+    out = {"kernel": np.ascontiguousarray(
+        w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))}
+    if f"{p}.bias" in sd:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def _linear(sd: Dict[str, np.ndarray], p: str) -> Tree:
+    return {"kernel": np.ascontiguousarray(sd[f"{p}.weight"].T),
+            "bias": sd[f"{p}.bias"]}
+
+
+def _gn(sd: Dict[str, np.ndarray], p: str) -> Tree:
+    return {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}
+
+
+def _res_block(sd: Dict[str, np.ndarray], p: str) -> Tree:
+    out = {
+        "norm1": _gn(sd, f"{p}.norm1"),
+        "conv1": _conv(sd, f"{p}.conv1"),
+        "time_proj": _linear(sd, f"{p}.time_mlp"),
+        "norm2": _gn(sd, f"{p}.norm2"),
+        "conv2": _conv(sd, f"{p}.conv2"),
+    }
+    if f"{p}.shortcut.weight" in sd:  # Identity when channels match
+        out["shortcut"] = _conv(sd, f"{p}.shortcut")
+    return out
+
+
+def _attention(sd: Dict[str, np.ndarray], p: str) -> Tree:
+    return {
+        "query": _linear(sd, f"{p}.query_projection"),
+        "key": _linear(sd, f"{p}.key_projection"),
+        "value": _linear(sd, f"{p}.value_projection"),
+        "proj": _linear(sd, f"{p}.final_projection"),
+        "norm_scale": sd[f"{p}.norm.weight"],
+        "norm_bias": sd[f"{p}.norm.bias"],
+    }
+
+
+def _stage(sd: Dict[str, np.ndarray], p: str, attn: bool,
+           resample_key: str, num_layers: int = 2) -> Tree:
+    out: Tree = {}
+    for i in range(num_layers):
+        out[f"res{i}"] = _res_block(sd, f"{p}.res_blocks.{i}")
+        if attn:
+            out[f"attn{i}"] = _attention(sd, f"{p}.attention_blocks.{i}")
+    src = "downsample" if resample_key == "down" else "upsample"
+    conv = _conv if resample_key == "down" else _conv_t
+    out[resample_key] = {"conv": conv(sd, f"{p}.{src}")}
+    return out
+
+
+def convert_ddpm_unet_state_dict(sd: Dict[str, Any]) -> Tree:
+    """Reference UNet state_dict → flax params for
+    ``models.unet.UNet(conv_bias=True)``.
+
+    Accepts either bare UNet keys (``initial_conv.weight …``) or a full
+    reference DDPM/DDIM state_dict (keys under ``model.``; schedule
+    buffers and loss-module entries are ignored).
+    """
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    if "initial_conv.weight" not in sd:
+        prefixed = {k[len("model."):]: v for k, v in sd.items()
+                    if k.startswith("model.")}
+        if "initial_conv.weight" not in prefixed:
+            raise ValueError(
+                "not a reference DDPM/DDIM state_dict: no "
+                "'initial_conv.weight' or 'model.initial_conv.weight' key")
+        sd = prefixed
+
+    params: Tree = {
+        "initial_conv": _conv(sd, "initial_conv"),
+        "time_embedding": {
+            # Sequential indices: [0]=sinusoid (no params), [1]/[3]=Linear
+            # (`/root/reference/models/layers/embeddings.py:55-60`).
+            "dense1": _linear(sd, "time_embedding.positional_encoding.1"),
+            "dense2": _linear(sd, "time_embedding.positional_encoding.3"),
+        },
+        "mid_res1": _res_block(sd, "bottleneck.0"),
+        "mid_attn": _attention(sd, "bottleneck.1"),
+        "mid_res2": _res_block(sd, "bottleneck.2"),
+        "out_norm": _gn(sd, "output_conv.0"),
+        "output_conv": _conv(sd, "output_conv.2"),
+    }
+    for i in range(5):
+        params[f"down{i}"] = _stage(sd, f"down_blocks.{i}", attn=(i == 3),
+                                    resample_key="down")
+        params[f"up{i}"] = _stage(sd, f"up_blocks.{i}", attn=(i == 1),
+                                  resample_key="up")
+    return params
+
+
+def convert_ddpm_checkpoint(ckpt: Dict[str, Any]) -> Dict[str, Any]:
+    """Full reference checkpoint → this framework's model-only payload.
+
+    Input: ``torch.load`` of either checkpoint schema (model-only
+    ``{model_state_dict, config}`` or the trainer checkpoint). Output:
+    ``{"model_state_dict": flax params, "config": canonical model config
+    (conv_bias stamped), "ema_model_state_dict": … (when present)}`` —
+    directly consumable by :meth:`BaseDiffusionModel.load`'s schema.
+    """
+    sd = ckpt.get("model_state_dict", ckpt)
+    out: Dict[str, Any] = {
+        "model_state_dict": convert_ddpm_unet_state_dict(sd)}
+    config = dict(ckpt.get("config", {}) or {})
+    model_cfg = dict(config.get("model_config", config.get("model", config)))
+    model_cfg["conv_bias"] = True
+    out["config"] = model_cfg
+    if "ema_model_state_dict" in ckpt:
+        out["ema_model_state_dict"] = convert_ddpm_unet_state_dict(
+            ckpt["ema_model_state_dict"])
+    return out

@@ -67,6 +67,9 @@ class DDPM(BaseDiffusionModel):
             use_pallas=self.use_pallas,
             remat=cfg.get("remat", True),
             num_classes=self.num_classes,
+            # conv_bias=True restores the reference parameterization for
+            # imported reference checkpoints (scripts/convert_weights.py).
+            conv_bias=cfg.get("conv_bias", False),
         )
         self.loss_fn = DiffusionLoss(
             loss_type=cfg.get("loss_type", "mse"),

@@ -52,7 +52,12 @@ class TimeEmbedding(nn.Module):
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros, name=name)
         emb = dense("dense1")(emb)
-        emb = nn.gelu(emb)
+        # Exact (erf) GELU: torch's nn.GELU default, which the reference
+        # uses (`embeddings.py:63`). flax defaults to the tanh
+        # approximation — a ~1e-3 difference that would dominate the
+        # full-UNet golden-parity budget; the tensor is a tiny [B, 4C],
+        # so exactness is free.
+        emb = nn.gelu(emb, approximate=False)
         return dense("dense2")(emb)
 
 

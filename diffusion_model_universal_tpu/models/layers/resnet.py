@@ -65,6 +65,11 @@ class ResidualBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # True restores the reference's conv-bias parameterization — needed to
+    # import trained reference checkpoints losslessly (their biases carry
+    # information). Default False: the TPU-optimized bias-free form (see
+    # the conv() comment below).
+    conv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: Array, t_emb: Array,
@@ -81,7 +86,7 @@ class ResidualBlock(nn.Module):
         # differ (NHWC flax vs NCHW torch).
         conv = lambda name, init=None: nn.Conv(
             self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
-            use_bias=False,
+            use_bias=self.conv_bias,
             kernel_init=init or nn.initializers.lecun_normal(), name=name)
 
         h = GroupNormSiLU(self.num_groups, use_pallas=self.use_pallas,
@@ -105,7 +110,7 @@ class ResidualBlock(nn.Module):
 
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        use_bias=False,
+                        use_bias=self.conv_bias,
                         name="shortcut")(x.astype(self.dtype))
         return h + x
 
@@ -115,12 +120,13 @@ class Downsample(nn.Module):
 
     channels: int
     dtype: jnp.dtype = jnp.float32
+    conv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         return nn.Conv(self.channels, (4, 4), strides=(2, 2),
                        padding=((1, 1), (1, 1)), dtype=self.dtype,
-                       use_bias=False,  # GroupNorm follows (see ResidualBlock)
+                       use_bias=self.conv_bias,  # see ResidualBlock
                        name="conv")(x.astype(self.dtype))
 
 
@@ -130,12 +136,18 @@ class Upsample(nn.Module):
 
     channels: int
     dtype: jnp.dtype = jnp.float32
+    conv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        # torch ConvTranspose2d(k=4, s=2, p=1) equivalence: flax "SAME"
+        # with transpose_kernel=False and the kernel spatially FLIPPED
+        # relative to torch's [in,out,kh,kw] (pinned to 1e-6 in
+        # tests/test_golden_torch.py; scripts/convert_weights.py applies
+        # the flip when importing reference checkpoints).
         return nn.ConvTranspose(self.channels, (4, 4), strides=(2, 2),
                                 padding="SAME", dtype=self.dtype,
-                                use_bias=False,  # GroupNorm follows
+                                use_bias=self.conv_bias,
                                 name="conv")(x.astype(self.dtype))
 
 
@@ -149,6 +161,7 @@ class ConvDownBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    conv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: Array, t_emb: Array,
@@ -156,8 +169,10 @@ class ConvDownBlock(nn.Module):
         for i in range(self.num_layers):
             x = ResidualBlock(self.out_channels, self.num_groups,
                               self.dropout, self.dtype, self.use_pallas,
+                              self.conv_bias,
                               name=f"res{i}")(x, t_emb, deterministic)
-        return Downsample(self.out_channels, self.dtype, name="down")(x)
+        return Downsample(self.out_channels, self.dtype, self.conv_bias,
+                          name="down")(x)
 
 
 class ConvUpBlock(nn.Module):
@@ -170,6 +185,7 @@ class ConvUpBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    conv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: Array, t_emb: Array,
@@ -177,8 +193,10 @@ class ConvUpBlock(nn.Module):
         for i in range(self.num_layers):
             x = ResidualBlock(self.out_channels, self.num_groups,
                               self.dropout, self.dtype, self.use_pallas,
+                              self.conv_bias,
                               name=f"res{i}")(x, t_emb, deterministic)
-        return Upsample(self.out_channels, self.dtype, name="up")(x)
+        return Upsample(self.out_channels, self.dtype, self.conv_bias,
+                        name="up")(x)
 
 
 class AttentionDownBlock(nn.Module):
@@ -193,6 +211,7 @@ class AttentionDownBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    conv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: Array, t_emb: Array,
@@ -200,12 +219,14 @@ class AttentionDownBlock(nn.Module):
         for i in range(self.num_layers):
             x = ResidualBlock(self.out_channels, self.num_groups,
                               self.dropout, self.dtype, self.use_pallas,
+                              self.conv_bias,
                               name=f"res{i}")(x, t_emb, deterministic)
             x = SelfAttentionBlock(self.out_channels, self.num_att_heads,
                                    self.num_groups, self.dtype,
                                    self.use_pallas, name=f"attn{i}")(x)
         if self.downsample:
-            x = Downsample(self.out_channels, self.dtype, name="down")(x)
+            x = Downsample(self.out_channels, self.dtype, self.conv_bias,
+                           name="down")(x)
         return x
 
 
@@ -221,6 +242,7 @@ class AttentionUpBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    conv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: Array, t_emb: Array,
@@ -228,10 +250,12 @@ class AttentionUpBlock(nn.Module):
         for i in range(self.num_layers):
             x = ResidualBlock(self.out_channels, self.num_groups,
                               self.dropout, self.dtype, self.use_pallas,
+                              self.conv_bias,
                               name=f"res{i}")(x, t_emb, deterministic)
             x = SelfAttentionBlock(self.out_channels, self.num_att_heads,
                                    self.num_groups, self.dtype,
                                    self.use_pallas, name=f"attn{i}")(x)
         if self.upsample:
-            x = Upsample(self.out_channels, self.dtype, name="up")(x)
+            x = Upsample(self.out_channels, self.dtype, self.conv_bias,
+                         name="up")(x)
         return x

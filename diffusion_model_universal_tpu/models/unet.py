@@ -73,6 +73,10 @@ class UNet(nn.Module):
     # is unconditional): index `num_classes` is the NULL token used for
     # classifier-free-guidance training/sampling.
     num_classes: int = 0
+    # True restores the reference's conv-bias parameterization so trained
+    # reference checkpoints import losslessly (scripts/convert_weights.py
+    # sets it); default False is the TPU-optimized bias-free form.
+    conv_bias: bool = False
 
     @nn.compact
     def __call__(self, x: Array, t: Array, y: Array = None,
@@ -85,7 +89,7 @@ class UNet(nn.Module):
                 "models/ddpm.py:56-65). Resize inputs to ≥ 32.")
         c = self.model_channels
         common = dict(dropout=self.dropout, dtype=self.dtype,
-                      use_pallas=self.use_pallas)
+                      use_pallas=self.use_pallas, conv_bias=self.conv_bias)
 
         if self.continuous_sigma:
             t_emb = SigmaEmbedding(c, c * 4, self.dtype, name="time_embedding")(t)
@@ -103,7 +107,7 @@ class UNet(nn.Module):
 
         h = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype,
                     kernel_init=nn.initializers.he_normal(),
-                    use_bias=False,  # down0's GroupNorm follows directly
+                    use_bias=self.conv_bias,  # default: down0's GN follows
                     name="initial_conv")(x.astype(self.dtype))
 
         DownB = ConvDownBlock

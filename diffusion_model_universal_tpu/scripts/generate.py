@@ -82,6 +82,10 @@ def main(argv=None) -> int:
     import jax
     import numpy as np
 
+    if jax.default_backend() == "tpu":
+        from ..utils.cache import enable_compilation_cache
+        enable_compilation_cache()  # skip repeated remote sampler compiles
+
     from ..models import MODEL_REGISTRY
     from ..utils.config import load_config, resolve_interpolations
     from ..utils.images import save_image

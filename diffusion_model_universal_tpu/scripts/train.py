@@ -57,6 +57,13 @@ def main(argv=None) -> int:
     import jax
     if args.multihost:
         jax.distributed.initialize()
+    if jax.default_backend() == "tpu":
+        # Persistent compile cache: repeated CLI invocations (resume,
+        # per-checkpoint --eval_only --benchmark sweeps) skip the
+        # minutes-long remote TPU compiles. TPU-only: CPU AOT entries
+        # from another host can SIGILL (see .claude/skills/verify).
+        from ..utils.cache import enable_compilation_cache
+        enable_compilation_cache()
 
     from ..datasets import get_dataset
     from ..models import MODEL_REGISTRY

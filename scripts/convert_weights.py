@@ -30,8 +30,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    if len(sys.argv) != 4 or sys.argv[1] not in ("inception", "vgg16"):
+    if len(sys.argv) != 4 or sys.argv[1] not in ("inception", "vgg16",
+                                                 "ddpm"):
         print(__doc__)
+        print("\nAlso: python scripts/convert_weights.py ddpm "
+              "<reference .pt checkpoint> <out .ckpt>\n"
+              "  Imports a TRAINED reference DDPM/DDIM checkpoint (either "
+              "schema: model-only\n  {model_state_dict, config} or the "
+              "full trainer checkpoint) into this\n  framework's "
+              "model-only format; load with\n"
+              "    DDPM.load_with_config(out) or generate.py "
+              "--checkpoint <out .ckpt>\n"
+              "  (the emitted config sets conv_bias: true — the reference "
+              "parameterization).")
         sys.exit(1)
     kind, src, dst = sys.argv[1:4]
 
@@ -44,11 +55,30 @@ def main() -> None:
         from diffusion_model_universal_tpu.utils.inception import (
             convert_torch_state_dict, save_inception_npz)
         save_inception_npz(convert_torch_state_dict(state_dict), dst)
+    elif kind == "ddpm":
+        import pickle
+
+        from diffusion_model_universal_tpu.models.convert import (
+            convert_ddpm_checkpoint)
+        payload = convert_ddpm_checkpoint(state_dict)
+        with open(dst, "wb") as f:
+            pickle.dump(payload, f)
+        n = sum(v.size for v in _leaves(payload["model_state_dict"]))
+        print(f"converted {n:,} parameters"
+              + (" (+EMA)" if "ema_model_state_dict" in payload else ""))
     else:
         from diffusion_model_universal_tpu.utils.vgg import (
             convert_torch_vgg16, save_vgg16_npz)
         save_vgg16_npz(convert_torch_vgg16(state_dict), dst)
     print(f"wrote {dst}")
+
+
+def _leaves(tree):
+    for v in tree.values():
+        if isinstance(v, dict):
+            yield from _leaves(v)
+        else:
+            yield v
 
 
 if __name__ == "__main__":

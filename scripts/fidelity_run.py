@@ -1,0 +1,171 @@
+"""Fidelity-trajectory run through the REAL CLI path (VERDICT r1 #1).
+
+Trains the flagship DDPM (C=128, T=1000 — the architecture the reference
+trains on CIFAR-10, `/root/reference/configs/ddpm_config.yaml`) to
+convergence through `scripts/train.py`, then evaluates EVERY saved
+checkpoint with `--eval_only --benchmark --resume <ckpt>` (the reference's
+benchmark flow, `/root/reference/scripts/train.py:134-156`) to record an
+FID/IS trajectory, and finally samples a grid from the EMA weights via
+`scripts/generate.py --ema`.
+
+Dataset: this image has zero network egress and no CIFAR-10 files on
+disk, so the run uses the CIFAR-scale structured synthetic set (50,000
+32×32×3 images of Gaussian blobs + gradients, `datasets/sources.py:
+make_synthetic`) — same resolution, same compute, real data pipeline.
+FID/IS use the seeded random-feature extractor (`utils/benchmarks.py:
+FeatureExtractor`): scores are comparable ACROSS CHECKPOINTS of this run
+(a falling trajectory is meaningful) but NOT to the literature.
+
+Each phase runs in its own subprocess so the driver stays honest about
+exercising the installed CLI end-to-end (config → data → trainer →
+checkpoints → benchmark → generate).
+
+Usage (on the TPU host):
+    python scripts/fidelity_run.py --output_dir outputs/fidelity
+    python scripts/fidelity_run.py --smoke   # tiny wiring check
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+CONFIG = """
+model_name: "DDPM"
+model_config:
+  time_steps: 1000
+  beta_start: 0.0001
+  beta_end: 0.02
+  image_size: 32
+  image_channels: 3
+  hidden_channels: {channels}
+  dropout: 0.1
+  loss_type: "mse"
+  loss_config:
+    mse_weight: 1.0
+    use_time_weighting: true
+    time_weight_type: "snr"
+    time_weight_params: {{min_weight: 0.1, max_weight: 1.0}}
+
+training:
+  num_epochs: {epochs}
+  batch_size: {batch}
+  learning_rate: 2.0e-4
+  beta1: 0.9
+  beta2: 0.999
+  ema_decay: 0.9999
+  scan_steps: {scan_steps}
+  scheduler:
+    type: "cosine"
+    warmup_steps: 500
+    min_lr: 1.0e-6
+  val_interval: {val_interval}
+  sample_interval: {ckpt_interval}
+  checkpoint_interval: {ckpt_interval}
+
+data:
+  dataset: "synthetic"
+  data_dir: "unused"
+  num_samples: {num_samples}
+
+benchmark:
+  n_samples: {bench_samples}
+  batch_size: {bench_batch}
+  use_inception: false   # random-feature extractor: trajectory-comparable,
+                         # NOT literature-comparable (no weights, zero egress)
+  save_samples: false
+
+logging:
+  use_wandb: false
+  use_tensorboard: false
+  log_interval: 50
+
+output:
+  output_dir: "{out_dir}"
+"""
+
+
+def run(cmd, log_path: Path) -> float:
+    """Run a CLI phase, teeing output to a log; returns wall seconds."""
+    print(f"[fidelity] $ {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    with open(log_path, "a") as log:
+        log.write(f"\n$ {' '.join(cmd)}\n")
+        log.flush()
+        subprocess.run(cmd, check=True, stdout=log, stderr=subprocess.STDOUT)
+    return time.time() - t0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--output_dir", default="outputs/fidelity")
+    ap.add_argument("--smoke", action="store_true",
+                    help="Tiny wiring check (C=16, 2 epochs, 512 samples)")
+    args = ap.parse_args()
+
+    out = Path(args.output_dir).absolute()
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    log_path = out / "driver.log"
+
+    if args.smoke:
+        cfg = CONFIG.format(channels=16, epochs=2, batch=64, scan_steps=2,
+                            val_interval=4, ckpt_interval=1,
+                            num_samples=512, bench_samples=64,
+                            bench_batch=64, out_dir=out)
+    else:
+        cfg = CONFIG.format(channels=128, epochs=150, batch=512,
+                            scan_steps=8, val_interval=500,
+                            ckpt_interval=25, num_samples=50000,
+                            bench_samples=2000, bench_batch=256,
+                            out_dir=out)
+    cfg_path = out / "config.yaml"
+    cfg_path.write_text(cfg)
+
+    train_cli = [sys.executable, "-m",
+                 "diffusion_model_universal_tpu.scripts.train",
+                 "--config", str(cfg_path), "--model_type", "ddpm"]
+    gen_cli = [sys.executable, "-m",
+               "diffusion_model_universal_tpu.scripts.generate",
+               "--config", str(cfg_path), "--model_type", "ddpm"]
+
+    t_train = run(train_cli, log_path)
+    print(f"[fidelity] training done in {t_train:.0f}s", flush=True)
+
+    ckpts = sorted((p.name for p in (out / "checkpoints").iterdir()
+                    if p.name.startswith("checkpoint_epoch_")),
+                   key=lambda n: int(n.rsplit("_", 1)[1]))
+    ckpts.append("final_model")
+
+    trajectory = []
+    for name in ckpts:
+        dt = run(train_cli + ["--eval_only", "--benchmark",
+                              "--resume", name], log_path)
+        results = json.loads((out / "benchmark_results.json").read_text())
+        epoch = (int(name.rsplit("_", 1)[1]) + 1
+                 if name.startswith("checkpoint_epoch_") else "final")
+        entry = {"checkpoint": name, "epoch": epoch,
+                 "eval_seconds": round(dt, 1), **results}
+        trajectory.append(entry)
+        print(f"[fidelity] {name}: {json.dumps(results)}", flush=True)
+        (out / "trajectory.json").write_text(
+            json.dumps(trajectory, indent=2))
+
+    # Final EMA sample grid from the real generate CLI.
+    run(gen_cli + ["--checkpoint", str(out / "checkpoints" / "final_model"),
+                   "--ema", "--num_samples", "64", "--grid_only",
+                   "--output_dir", str(out / "final_samples")],
+        log_path)
+    print(f"[fidelity] trajectory written to {out / 'trajectory.json'}",
+          flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

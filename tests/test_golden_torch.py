@@ -74,6 +74,96 @@ def test_residual_block_matches_torch_reference_math():
                                atol=2e-4, rtol=2e-4)
 
 
+def _load_reference_unet():
+    """Import the reference's OWN UNet from /root/reference for direct
+    execution (no re-implementation, no copying). The reference module
+    chain imports torchvision (for its PerceptualLoss) which this image
+    lacks — stub just enough of it to resolve the import."""
+    import sys
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tvt = types.ModuleType("torchvision.transforms")
+        tvm.vgg16 = lambda *a, **k: None
+        tvt.Normalize = object
+        tv.models, tv.transforms = tvm, tvt
+        sys.modules.update({"torchvision": tv, "torchvision.models": tvm,
+                            "torchvision.transforms": tvt})
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.ddpm import UNet as RefUNet
+    finally:
+        sys.path.remove("/root/reference")
+    return RefUNet
+
+
+def test_full_unet_golden_parity_and_import():
+    """VERDICT r1 #3: execute the reference's ASSEMBLED UNet
+    (`/root/reference/models/ddpm.py:93-135` + `models/layers/*`) and pin
+    our `models/unet.py` against it on SHARED weights via the
+    reference-checkpoint importer (`models/convert.py`). Covers
+    skip-concat ordering, attention placement (down3/mid/up1), down/up
+    conv geometry (incl. the ConvTranspose kernel-flip mapping), time-MLP
+    wiring, and the output head."""
+    import torch as _torch
+
+    from diffusion_model_universal_tpu.models.convert import (
+        convert_ddpm_checkpoint, convert_ddpm_unet_state_dict)
+    from diffusion_model_universal_tpu.models.unet import UNet
+
+    C, B = 32, 2
+    RefUNet = _load_reference_unet()
+    _torch.manual_seed(0)
+    ref = RefUNet(in_channels=3, model_channels=C, out_channels=3)
+    ref.eval()
+    with _torch.no_grad():
+        # Zero-init layers (conv2/time_mlp) would hide mis-mappings;
+        # perturb everything so every weight contributes.
+        for p in ref.parameters():
+            p.add_(_torch.randn_like(p) * 0.05)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_ddpm_unet_state_dict(sd)
+
+    ours = UNet(in_channels=3, model_channels=C, out_channels=3,
+                dtype=jnp.float32, remat=False, conv_bias=True)
+    # Structure check: the converted tree must match an init tree leaf
+    # for leaf (same paths, same shapes) — a missing/renamed parameter
+    # would otherwise silently fall back to flax defaults.
+    init_params = ours.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3)),
+                            jnp.zeros((1,), jnp.int32))["params"]
+    conv_paths = jax.tree_util.tree_structure(params)
+    init_paths = jax.tree_util.tree_structure(init_params)
+    assert conv_paths == init_paths, (conv_paths, init_paths)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(init_params)):
+        assert a.shape == b.shape
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(B, 32, 32, 3)).astype(np.float32)
+    ts = [0, 57]
+    out_ours = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(ts, jnp.int32)))
+    with _torch.no_grad():
+        out_ref = ref(_t(x), _torch.tensor(ts, dtype=_torch.float32))
+    out_ref = out_ref.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out_ours, out_ref, atol=1e-3, rtol=1e-3)
+
+    # Checkpoint-level import: both reference schemas resolve to the same
+    # tree, and the emitted config carries conv_bias for reconstruction.
+    ckpt = {"model_state_dict": {f"model.{k}": v for k, v in sd.items()},
+            "config": {"model_config": {"in_channels": 3,
+                                        "model_channels": C}}}
+    payload = convert_ddpm_checkpoint(ckpt)
+    assert payload["config"]["conv_bias"] is True
+    for a, b in zip(jax.tree_util.tree_leaves(payload["model_state_dict"]),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_sinusoidal_embedding_matches_torch_reference_math():
     """Reference formula (`models/layers/embeddings.py:24-39`):
     emb = [sin(t·ω), cos(t·ω)], ω = exp(−ln(10000)·i/(d/2 − 1))."""
