@@ -43,6 +43,13 @@ class ScoreBasedDiffusion(BaseDiffusionModel):
         self.num_scales = cfg.get("num_scales", 1000)
         self.beta = cfg.get("beta", 1.0)  # sampling temperature
         self.langevin_steps = cfg.get("langevin_steps", 10)
+        # Optional Tweedie denoising step after the ladder
+        # (x += σ_min²·score — "Technique 5" of Song & Ermon 2020,
+        # arXiv:2006.09011): removes the σ_min-scale residual noise from
+        # the final Langevin iterate. Off by default (reference parity —
+        # its sampler stops at the last noisy iterate,
+        # `score_based.py:235-247`).
+        self.final_denoise = bool(cfg.get("final_denoise", False))
 
         in_ch = cfg.get("in_channels", 3)
         self.net = UNet(
@@ -55,6 +62,9 @@ class ScoreBasedDiffusion(BaseDiffusionModel):
             continuous_sigma=True,
             remat=cfg.get("remat", True),
         )
+        # DSM weighting: "none" = reference parity; "sigma2" = the
+        # NCSN λ(σ)=σ² objective (see utils.losses.score_matching_loss).
+        self.dsm_weighting = cfg.get("dsm_weighting", "none")
         loss_type = cfg.get("loss_type", "score_matching")
         if loss_type == "score_matching":
             self.loss_fn = None  # use the pure DSM function
@@ -88,7 +98,8 @@ class ScoreBasedDiffusion(BaseDiffusionModel):
         noisy_x = x + sigma[:, None, None, None] * noise
         score = self.apply(params, noisy_x, sigma, train=True, rng=kd)
         if self.loss_fn is None:
-            return score_matching_loss(score, noise, sigma)
+            return score_matching_loss(score, noise, sigma,
+                                       weighting=self.dsm_weighting)
         # Alternative config-driven losses operate on (score, target).
         target = -noise / sigma[:, None, None, None]
         return self.loss_fn(score, target)
@@ -131,7 +142,14 @@ class ScoreBasedDiffusion(BaseDiffusionModel):
 
         keys = jax.random.split(k_loop, self.num_scales)
         (x,), _ = jax.lax.scan(outer, (x,), (sigmas, keys))
-        return x
+        return self._maybe_final_denoise(params, x, batch_size)
+
+    def _maybe_final_denoise(self, params: Params, x: Array,
+                             batch_size: int) -> Array:
+        if not self.final_denoise:
+            return x
+        sigma_b = jnp.full((batch_size,), self.sigma_min)
+        return x + self.sigma_min ** 2 * self.apply(params, x, sigma_b)
 
     def generate_samples_with_intermediates(
             self, params: Params, rng: Array, batch_size: int,

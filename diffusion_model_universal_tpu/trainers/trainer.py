@@ -671,7 +671,17 @@ class DiffusionTrainer:
                                   jnp.asarray(offset, jnp.int32))
             total += float(s)
             count += float(c)
-            offset += n
+            # Single-process: advance by the REAL count so sample j's
+            # eval key is always fold_in(base, j) regardless of
+            # batch_size (pad indices collide with the next batch's
+            # reals, but pads are masked out — harmless). Multi-host:
+            # the global batch interleaves per-process pads, so advance
+            # by the full global padded size to keep real-sample key
+            # streams disjoint across batches.
+            if jax.process_count() > 1:
+                offset += (n + pad) * jax.process_count()
+            else:
+                offset += n
         if count == 0.0:
             return float("inf")
         return total / count
@@ -707,13 +717,19 @@ class DiffusionTrainer:
     # ------------------------------------------------------------------
     def save_checkpoint(self, name: str, epoch: int) -> Optional[str]:
         """Full-state checkpoint (schema: SURVEY.md §5.4)."""
+        # Host-built scalars must carry a REPLICATED mesh sharding: a bare
+        # jnp.asarray is a process-local single-device array, which Orbax
+        # refuses to serialize in a multi-host run (every process
+        # participates in the save barrier). No-op single-process.
+        repl = NamedSharding(self.mesh, P())
         state = {
             "params": self.state.params,
             "ema_params": self.state.ema_params,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
-            "epoch": jnp.asarray(epoch, jnp.int32),
-            "best_val_loss": jnp.asarray(self.best_val_loss, jnp.float32),
+            "epoch": jax.device_put(jnp.asarray(epoch, jnp.int32), repl),
+            "best_val_loss": jax.device_put(
+                jnp.asarray(self.best_val_loss, jnp.float32), repl),
         }
         path = self.ckpt.save(name, state)
         # Optional W&B artifact upload (reference `wandb.save`,
@@ -734,13 +750,17 @@ class DiffusionTrainer:
             if name is None:
                 raise FileNotFoundError(
                     f"no checkpoint_epoch_* under {self.ckpt.directory}")
+        repl = NamedSharding(self.mesh, P())
         target = {
             "params": self.state.params,
             "ema_params": self.state.ema_params,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
-            "epoch": jnp.zeros((), jnp.int32),
-            "best_val_loss": jnp.zeros((), jnp.float32),
+            # Replicated scalar targets (multi-host restore needs sharded
+            # targets, same as the save path).
+            "epoch": jax.device_put(jnp.zeros((), jnp.int32), repl),
+            "best_val_loss": jax.device_put(jnp.zeros((), jnp.float32),
+                                            repl),
         }
         restored = self.ckpt.restore(name, target)
         self.state = TrainState(params=restored["params"],

@@ -214,14 +214,28 @@ class PerceptualLoss:
         return loss
 
 
-def score_matching_loss(score: Array, noise: Array, sigma: Array) -> Array:
+def score_matching_loss(score: Array, noise: Array, sigma: Array,
+                        weighting: str = "none") -> Array:
     """Denoising score matching loss.
 
     Reference `utils/losses.py:218-242` — as *intended* (fixing defect D5):
     the DSM target is −ε/σ for the ε that actually produced the perturbation,
     which the caller passes in (reference `models/score_based.py:200-207`
     already passes ``(score, noise, sigma)``).
+
+    ``weighting``:
+    * ``"none"`` (default, reference parity): plain MSE against −ε/σ.
+      Target magnitude ∼1/σ, so small-σ levels dominate the objective by
+      (σ_max/σ_min)² and the large-σ score — which the annealed sampler
+      depends on first — barely trains.
+    * ``"sigma2"``: λ(σ)=σ² weighting, i.e. ‖σ·s + ε‖² — unit-scale
+      targets at every level (the NCSN/NCSNv2 objective, Song & Ermon
+      2019 eq. 5-6). Use for models meant to SAMPLE well.
     """
+    if weighting == "sigma2":
+        return jnp.mean((sigma[:, None, None, None] * score + noise) ** 2)
+    if weighting != "none":
+        raise ValueError(f"unknown DSM weighting: {weighting!r}")
     target = -noise / sigma[:, None, None, None]
     return jnp.mean((score - target) ** 2)
 

@@ -120,18 +120,20 @@ def main() -> int:
                             num_samples=512, bench_samples=64,
                             bench_batch=64, out_dir=out)
     else:
+        # bench_samples divisible by bench_batch: a ragged tail batch
+        # would compile a SECOND full 1000-step sampler program.
         cfg = CONFIG.format(channels=128, epochs=150, batch=512,
                             scan_steps=8, val_interval=500,
                             ckpt_interval=25, num_samples=50000,
-                            bench_samples=2000, bench_batch=256,
+                            bench_samples=2048, bench_batch=256,
                             out_dir=out)
     cfg_path = out / "config.yaml"
     cfg_path.write_text(cfg)
 
-    train_cli = [sys.executable, "-m",
+    train_cli = [sys.executable, "-u", "-m",
                  "diffusion_model_universal_tpu.scripts.train",
                  "--config", str(cfg_path), "--model_type", "ddpm"]
-    gen_cli = [sys.executable, "-m",
+    gen_cli = [sys.executable, "-u", "-m",
                "diffusion_model_universal_tpu.scripts.generate",
                "--config", str(cfg_path), "--model_type", "ddpm"]
 

@@ -1,0 +1,124 @@
+"""Worker for the 2-process distributed integration test.
+
+Launched as a SUBPROCESS (not collected by pytest): each of two processes
+initializes the JAX distributed runtime on CPU with 4 virtual local
+devices (8 global — the same topology the virtual single-process tests
+use), builds the real trainer over the GLOBAL mesh, and exercises every
+`jax.process_count() > 1` branch that is dead code under one process:
+
+* `_global_batch` / `_global_mask` — `make_array_from_process_local_data`
+  assembly of per-process loader shards (`trainers/trainer.py`),
+* `_scan_chunk` — the multi-host host-side stack path,
+* masked per-sample eval (`validate()`),
+* the Orbax coordinated checkpoint save + restore (every process
+  participates in the save barrier).
+
+Prints one line `RESULT {json}` consumed by
+`tests/test_multiprocess.py`, which also asserts loss parity against a
+single-process run on the identical global batches.
+
+Usage: python tests/multiprocess_worker.py <process_id> <coordinator> <tmpdir>
+"""
+
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+# No compile cache: sharing AOT entries with the parent suite's 8-device
+# topology is not worth the cross-process invalidation risk.
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    pid, coordinator, tmpdir = (int(sys.argv[1]), sys.argv[2], sys.argv[3])
+    jax.distributed.initialize(coordinator, num_processes=2, process_id=pid)
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import numpy as np
+
+    from diffusion_model_universal_tpu.datasets import (DeviceDataLoader,
+                                                        make_augment_fn)
+    from diffusion_model_universal_tpu.datasets.sources import make_synthetic
+    from diffusion_model_universal_tpu.models import DDPM
+    from diffusion_model_universal_tpu.parallel import mesh as M
+    from diffusion_model_universal_tpu.trainers import DDPMTrainer
+
+    imgs = make_synthetic(num_samples=64, image_size=32)
+    # Deterministic transforms only, so the single-process parity run in
+    # the parent sees byte-identical batches after assembly.
+    aug = make_augment_fn([{"name": "normalize"}], [0.5] * 3, [0.5] * 3,
+                          train=False)
+
+    def loader(batch):
+        return DeviceDataLoader(imgs, batch_size=batch, augment=aug,
+                                shuffle=False, world_size=2, rank=pid,
+                                drop_last=False)
+
+    cfg = {
+        "model_name": "DDPM",
+        "training": {"num_epochs": 1, "batch_size": 8,
+                     "learning_rate": 1e-3, "ema_decay": 0.99,
+                     "scheduler": {"type": "constant"}, "scan_steps": 2,
+                     "val_interval": 0, "sample_interval": 0,
+                     "checkpoint_interval": 0},
+        "logging": {"use_wandb": False, "use_tensorboard": False},
+        "output": {"output_dir": os.path.join(tmpdir, "out")},
+    }
+    model_cfg = {"num_timesteps": 8, "image_size": 32, "in_channels": 3,
+                 "model_channels": 8, "compute_dtype": "float32",
+                 "use_pallas": False, "remat": False,
+                 "loss_config": {"use_time_weighting": False}}
+
+    mesh = M.make_mesh()  # all 8 GLOBAL devices on the data axis
+    model = DDPM(model_cfg)
+    tr = DDPMTrainer(model, loader(8), loader(8), loader(8), cfg, mesh=mesh)
+
+    # -- single steps through _global_batch ------------------------------
+    it = iter(tr.train_loader)
+    losses = []
+    for i in range(2):
+        m = tr.step(next(it), tr._step_key(i))
+        losses.append(float(m["loss"]))
+
+    # -- one scan chunk through the multi-host stack path ----------------
+    chunk = [next(it), next(it)]
+    state, scan_losses = tr._scan_chunk(tr.state, chunk, 2)
+    tr.state = state
+    scan_losses = [float(x) for x in np.asarray(scan_losses)]
+
+    # -- masked per-sample eval (64/2 = 32 local → ragged under batch 8? no;
+    #    exercise the pad path too with a 5-sample tail loader) ----------
+    val_loss = float(tr.validate())
+    ragged = DeviceDataLoader(imgs[:42], batch_size=8, augment=aug,
+                              shuffle=False, world_size=2, rank=pid,
+                              drop_last=False)
+    ragged_loss = float(tr._run_eval(ragged, salt=3))
+
+    # -- Orbax coordinated save + restore --------------------------------
+    tr.save_checkpoint("checkpoint_epoch_0", 0)
+    tr2 = DDPMTrainer(DDPM(model_cfg), loader(8), loader(8), loader(8),
+                      cfg, mesh=mesh)
+    tr2.load_checkpoint("checkpoint_epoch_0")
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                    jax.tree_util.tree_leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    resumed = float(tr2.step(next(iter(tr2.train_loader)),
+                             tr2._step_key(99))["loss"])
+
+    print("RESULT " + json.dumps({
+        "pid": pid, "losses": losses, "scan_losses": scan_losses,
+        "val_loss": val_loss, "ragged_loss": ragged_loss,
+        "resumed_loss": resumed, "step": int(tr.state.step)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -163,3 +163,20 @@ def test_perceptual_loss_zero_on_identical():
     assert float(pl(x, x)) == pytest.approx(0.0, abs=1e-6)
     y = jnp.zeros_like(x)
     assert float(pl(x, y)) > 0
+
+
+def test_score_matching_sigma2_weighting():
+    """λ(σ)=σ² DSM (NCSN objective): unit-scale targets at every level;
+    equals σ²·(unweighted per-sample loss) for a single σ."""
+    from diffusion_model_universal_tpu.utils.losses import \
+        score_matching_loss
+    key = jax.random.PRNGKey(0)
+    score = jax.random.normal(key, (4, 8, 8, 3))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (4, 8, 8, 3))
+    sigma = jnp.full((4,), 2.0)
+    unweighted = score_matching_loss(score, noise, sigma)
+    weighted = score_matching_loss(score, noise, sigma, weighting="sigma2")
+    np.testing.assert_allclose(float(weighted), 4.0 * float(unweighted),
+                               rtol=1e-5)
+    with pytest.raises(ValueError):
+        score_matching_loss(score, noise, sigma, weighting="bogus")

@@ -256,3 +256,26 @@ def test_dpm_sampler_shape_and_determinism(ddpm_and_params):
     assert a.shape == model.sample_shape(2)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert np.isfinite(np.asarray(a)).all()
+
+
+def test_score_final_denoise_option():
+    """`final_denoise: true` applies the Tweedie step x += σ_min²·score
+    after the Langevin ladder (Song & Ermon 2020 Technique 5); default
+    off for reference parity."""
+    from diffusion_model_universal_tpu.models import ScoreBasedDiffusion
+    base = {"image_size": 32, "in_channels": 3, "model_channels": 8,
+            "num_scales": 3, "langevin_steps": 2, "sigma_min": 0.5,
+            "sigma_max": 2.0, "compute_dtype": "float32",
+            "use_pallas": False, "remat": False}
+    m0 = ScoreBasedDiffusion(base)
+    m1 = ScoreBasedDiffusion(dict(base, final_denoise=True))
+    params = m0.init_params(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    x0 = m0.generate_samples(params, key, 2)
+    x1 = m1.generate_samples(params, key, 2)
+    assert x0.shape == x1.shape == (2, 32, 32, 3)
+    # Same chain, then one extra σ_min²·score step.
+    sig = jnp.full((2,), 0.5)
+    expect = x0 + 0.5 ** 2 * m0.apply(params, x0, sig)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(expect),
+                               rtol=1e-5, atol=1e-6)
