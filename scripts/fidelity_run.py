@@ -106,12 +106,16 @@ def main() -> int:
     ap.add_argument("--output_dir", default="outputs/fidelity")
     ap.add_argument("--smoke", action="store_true",
                     help="Tiny wiring check (C=16, 2 epochs, 512 samples)")
+    ap.add_argument("--resume", action="store_true",
+                    help="Keep an existing output dir and resume training "
+                         "from its latest checkpoint (e.g. after a "
+                         "preemption) instead of starting fresh")
     args = ap.parse_args()
 
     out = Path(args.output_dir).absolute()
-    if out.exists():
+    if out.exists() and not args.resume:
         shutil.rmtree(out)
-    out.mkdir(parents=True)
+    out.mkdir(parents=True, exist_ok=True)
     log_path = out / "driver.log"
 
     if args.smoke:
@@ -128,7 +132,8 @@ def main() -> int:
                             bench_samples=2048, bench_batch=256,
                             out_dir=out)
     cfg_path = out / "config.yaml"
-    cfg_path.write_text(cfg)
+    if not (args.resume and cfg_path.exists()):
+        cfg_path.write_text(cfg)
 
     train_cli = [sys.executable, "-u", "-m",
                  "diffusion_model_universal_tpu.scripts.train",
@@ -137,7 +142,8 @@ def main() -> int:
                "diffusion_model_universal_tpu.scripts.generate",
                "--config", str(cfg_path), "--model_type", "ddpm"]
 
-    t_train = run(train_cli, log_path)
+    t_train = run(train_cli + (["--resume", "latest"] if args.resume else []),
+                  log_path)
     print(f"[fidelity] training done in {t_train:.0f}s", flush=True)
 
     ckpts = sorted((p.name for p in (out / "checkpoints").iterdir()
