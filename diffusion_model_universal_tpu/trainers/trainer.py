@@ -85,6 +85,17 @@ class DiffusionTrainer:
         self.checkpoint_interval = int(
             self.training_cfg.get("checkpoint_interval", 10))
         self.ema_decay = float(self.training_cfg.get("ema_decay", 0.9999))
+        # EMA decay warmup: effective decay min(d, (1+t)/(10+t)). A fixed
+        # d=0.9999 EMA initialized at the random init keeps 0.9999^t of
+        # that init forever — after 10k steps the "average" is still ~37%
+        # untrained weights, so short/medium runs sample garbage from EMA
+        # params (the reference has the same latent flaw,
+        # `ddpm_trainer.py:456-480`, hidden by its 100k+-step configs).
+        # The warmup form (standard across modern diffusion trainers)
+        # makes the EMA an unbiased growing-window average early on and
+        # converges to the configured decay; disable for bit-exact
+        # fixed-decay semantics with `training.ema_warmup: false`.
+        self.ema_warmup = bool(self.training_cfg.get("ema_warmup", True))
         # Preemption-aware checkpointing (TPU-production reality the
         # reference lacks — its only recovery is the emergency save on
         # exception, `ddpm_trainer.py:662-667`): while train() runs,
@@ -158,7 +169,13 @@ class DiffusionTrainer:
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
-            d = self.ema_decay
+            d = jnp.float32(self.ema_decay)
+            if self.ema_warmup:
+                # t counts COMPLETED updates: first update (step=0) uses
+                # d=1/10, so the init's weight decays as Π(1+t)/(10+t)
+                # instead of persisting as 0.9999^t.
+                t = state.step.astype(jnp.float32)
+                d = jnp.minimum(d, (1.0 + t) / (10.0 + t))
             ema_dt = self.ema_dtype
             ema = jax.tree_util.tree_map(
                 lambda e, p: (e.astype(jnp.float32) * d

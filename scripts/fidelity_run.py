@@ -78,6 +78,11 @@ benchmark:
   batch_size: {bench_batch}
   use_inception: false   # random-feature extractor: trajectory-comparable,
                          # NOT literature-comparable (no weights, zero egress)
+  use_ema: false         # evaluate RAW params (the reference's benchmark
+                         # semantics): at ema_decay=0.9999 an ~11k-step run
+                         # leaves the EMA 30-80% initial-weights (0.9999^step),
+                         # so EMA evals would measure init contamination,
+                         # not fidelity (see training.ema_warmup)
   save_samples: false
 
 logging:
@@ -165,9 +170,10 @@ def main() -> int:
         (out / "trajectory.json").write_text(
             json.dumps(trajectory, indent=2))
 
-    # Final EMA sample grid from the real generate CLI.
+    # Final sample grid from the real generate CLI (raw params — see the
+    # benchmark.use_ema note in CONFIG).
     run(gen_cli + ["--checkpoint", str(out / "checkpoints" / "final_model"),
-                   "--ema", "--num_samples", "64", "--grid_only",
+                   "--num_samples", "64", "--grid_only",
                    "--output_dir", str(out / "final_samples")],
         log_path)
     print(f"[fidelity] trajectory written to {out / 'trajectory.json'}",

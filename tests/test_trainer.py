@@ -93,6 +93,42 @@ def test_ema_tracks_params(trainer):
     assert float(jnp.sum((e - e0) ** 2)) < float(jnp.sum((p - p0) ** 2))
 
 
+def test_ema_warmup_forgets_init(tmp_path):
+    """`training.ema_warmup` (default on) must make a short run's EMA a
+    usable average of TRAINED params instead of ~init.
+
+    With fixed decay d=0.9999 the init keeps weight d^t (≈0.9997 after 3
+    steps — the EMA *is* the random init, which is why short-run EMA
+    sampling produced garbage); with warmup the effective decay is
+    min(d, (1+t)/(10+t)), so after 3 steps the init's weight is
+    (1/10)(2/11)(3/12) ≈ 0.0045 and the EMA sits near the recent params."""
+    cfg = _tiny_config(tmp_path, model_config={"model_channels": 4,
+                                               "num_timesteps": 4},
+                       training={"ema_decay": 0.9999})
+    cfg["data"]["num_samples"] = 32
+    results = {}
+    for warmup in (True, False):
+        cfg["training"]["ema_warmup"] = warmup
+        train, val, test = get_dataset(cfg)
+        tr = DDPMTrainer(DDPM(cfg["model_config"]), train, val, test, cfg)
+        e0 = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).copy(), tr.state.ema_params)
+        batch = next(iter(tr.train_loader))
+        for i in range(3):
+            tr.step(batch, tr._step_key(i))
+        dist = lambda a, b: float(sum(  # noqa: E731
+            np.sum((np.asarray(x, np.float64) - np.asarray(y, np.float64))
+                   ** 2)
+            for x, y in zip(jax.tree_util.tree_leaves(a),
+                            jax.tree_util.tree_leaves(b))))
+        # distance(EMA, params) relative to distance(init, params)
+        results[warmup] = (dist(tr.state.ema_params, tr.state.params)
+                           / dist(e0, tr.state.params))
+        tr.cleanup()
+    assert results[True] < 0.05   # warmed-up EMA ≈ trained params
+    assert results[False] > 0.99  # fixed 0.9999 decay: EMA ≈ init
+
+
 def test_full_train_epoch_and_history(trainer):
     step_before = int(trainer.state.step)
     epoch_before = trainer.start_epoch
