@@ -155,15 +155,22 @@ def main() -> int:
                     if p.name.startswith("checkpoint_epoch_")),
                    key=lambda n: int(n.rsplit("_", 1)[1]))
     ckpts.append("final_model")
+    # Anchor the trajectory with the UNTRAINED model (no --resume →
+    # fresh-init params): synthetic blobs converge within the first
+    # checkpoint interval, so without the init row the sweep would only
+    # show the already-converged plateau.
+    ckpts.insert(0, None)
 
     trajectory = []
     for name in ckpts:
-        dt = run(train_cli + ["--eval_only", "--benchmark",
-                              "--resume", name], log_path)
+        resume = [] if name is None else ["--resume", name]
+        dt = run(train_cli + ["--eval_only", "--benchmark"] + resume,
+                 log_path)
         results = json.loads((out / "benchmark_results.json").read_text())
-        epoch = (int(name.rsplit("_", 1)[1]) + 1
+        epoch = (0 if name is None
+                 else int(name.rsplit("_", 1)[1]) + 1
                  if name.startswith("checkpoint_epoch_") else "final")
-        entry = {"checkpoint": name, "epoch": epoch,
+        entry = {"checkpoint": name or "init (untrained)", "epoch": epoch,
                  "eval_seconds": round(dt, 1), **results}
         trajectory.append(entry)
         print(f"[fidelity] {name}: {json.dumps(results)}", flush=True)
