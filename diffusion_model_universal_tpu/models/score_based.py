@@ -65,6 +65,20 @@ class ScoreBasedDiffusion(BaseDiffusionModel):
         # DSM weighting: "none" = reference parity; "sigma2" = the
         # NCSN λ(σ)=σ² objective (see utils.losses.score_matching_loss).
         self.dsm_weighting = cfg.get("dsm_weighting", "none")
+        # Score parameterization: "raw" (reference parity — the UNet
+        # output IS the score, `score_based.py:165-177`) or "sigma"
+        # (NCSNv2 Technique 3, arXiv:2006.09011: s_θ(x,σ) = f_θ(x)/σ).
+        # With a geometric σ ladder spanning σ_max/σ_min ≈ 10³-10⁴ the
+        # true score magnitude ~1/σ covers 3-4 decades; a raw net
+        # underpredicts at small σ and annealed Langevin stalls with
+        # residual noise. Dividing by σ makes the net's regression
+        # target −ε (unit scale at EVERY level) under λ(σ)=σ² weighting.
+        self.score_parameterization = cfg.get("score_parameterization",
+                                              "raw")
+        if self.score_parameterization not in ("raw", "sigma"):
+            raise ValueError(
+                "score_parameterization must be 'raw' or 'sigma', got "
+                f"{self.score_parameterization!r}")
         loss_type = cfg.get("loss_type", "score_matching")
         if loss_type == "score_matching":
             self.loss_fn = None  # use the pure DSM function
@@ -82,8 +96,11 @@ class ScoreBasedDiffusion(BaseDiffusionModel):
               train: bool = False, rng: Optional[Array] = None) -> Array:
         """Predict the score ∇_x log p_σ(x) (reference `score_based.py:165-177`)."""
         rngs = {"dropout": rng} if (train and rng is not None) else None
-        return self.net.apply({"params": params}, x, sigma,
-                              deterministic=not train, rngs=rngs)
+        out = self.net.apply({"params": params}, x, sigma,
+                             deterministic=not train, rngs=rngs)
+        if self.score_parameterization == "sigma":
+            out = out / sigma[:, None, None, None].astype(out.dtype)
+        return out
 
     def loss_function(self, params: Params, x: Array, rng: Array) -> Array:
         """DSM loss at geometric random noise levels

@@ -10,6 +10,11 @@ tunes (`/root/reference/models/score_based.py:209-247`):
   trains at unit target scale — the unweighted reference objective is
   dominated by σ_min levels by (σ_max/σ_min)² and never learns the
   coarse structure the annealed sampler needs first;
+* s_θ(x,σ) = f_θ(x,σ)/σ output parameterization
+  (`score_parameterization: sigma`, NCSNv2 Technique 3): with the raw
+  parameterization the net must span |score|~1/σ over 3-4 decades and
+  underpredicts at small σ, so Langevin stalls with residual noise
+  (measured: sample mean-|∇| 0.95 vs data 0.06 on this exact recipe);
 * Langevin temperature β chosen so the step size matches the canonical
   α_i = ε·σ_i²/σ_L² schedule (the reference parameterizes step =
   2(σβ)², i.e. ε = 4β²σ_L²; β=0.2 ⇒ ε≈1.6e-5 at σ_L=0.01);
@@ -71,6 +76,7 @@ def main() -> None:
         "langevin_steps": args.langevin_steps,
         "beta": args.beta,
         "dsm_weighting": "sigma2",
+        "score_parameterization": "sigma",
         "final_denoise": True,
     }
     cfg = {

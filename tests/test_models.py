@@ -279,3 +279,31 @@ def test_score_final_denoise_option():
     expect = x0 + 0.5 ** 2 * m0.apply(params, x0, sig)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(expect),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_score_sigma_parameterization():
+    """`score_parameterization: sigma` (NCSNv2 Technique 3) divides the
+    net output by σ — same params, score == raw/σ — and makes the
+    σ²-weighted DSM target unit-scale; default "raw" is reference
+    parity (`/root/reference/models/score_based.py:165-177`)."""
+    import pytest
+
+    from diffusion_model_universal_tpu.models import ScoreBasedDiffusion
+    base = {"image_size": 32, "in_channels": 3, "model_channels": 8,
+            "num_scales": 3, "langevin_steps": 2, "sigma_min": 0.5,
+            "sigma_max": 2.0, "compute_dtype": "float32",
+            "use_pallas": False, "remat": False}
+    raw = ScoreBasedDiffusion(base)
+    scaled = ScoreBasedDiffusion(dict(base,
+                                      score_parameterization="sigma"))
+    params = raw.init_params(jax.random.PRNGKey(0))  # same net/params
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    sig = jnp.array([0.5, 2.0])
+    np.testing.assert_allclose(
+        np.asarray(scaled.apply(params, x, sig)),
+        np.asarray(raw.apply(params, x, sig)) / sig[:, None, None, None],
+        rtol=1e-6)
+    loss = scaled.loss_function(params, x, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    with pytest.raises(ValueError, match="score_parameterization"):
+        ScoreBasedDiffusion(dict(base, score_parameterization="bogus"))
