@@ -155,7 +155,11 @@ def main(argv=None) -> int:
                 # "unpaired" = reference-compat SSIM/PSNR vs arbitrary
                 # real batches; "reconstruction" = meaningful denoising
                 # pairing (see DiffusionBenchmark docstring).
-                pairing=bench_cfg.get("pairing", "unpaired"))
+                pairing=bench_cfg.get("pairing", "unpaired"),
+                # benchmark.sampler: "default" | "dpm++" (+sampler_steps)
+                # — fast-ODE-sampler fidelity through the same harness.
+                sampler=bench_cfg.get("sampler", "default"),
+                sampler_steps=bench_cfg.get("sampler_steps"))
             out_dir = Path(config.get("output", {}).get(
                 "output_dir", "outputs"))
             out_dir.mkdir(parents=True, exist_ok=True)

@@ -260,11 +260,16 @@ class DiffusionBenchmark:
     def __init__(self, n_samples: int = 2000, batch_size: int = 128,
                  use_inception: bool = False, seed: int = 0,
                  metrics: Optional[Dict[str, bool]] = None, mesh=None,
-                 pairing: str = "unpaired", recon_t_frac: float = 0.25):
+                 pairing: str = "unpaired", recon_t_frac: float = 0.25,
+                 sampler: str = "default",
+                 sampler_steps: Optional[int] = None):
         if pairing not in ("unpaired", "reconstruction"):
             raise ValueError(
                 f"pairing must be 'unpaired' or 'reconstruction' "
                 f"(got {pairing!r})")
+        if sampler not in ("default", "dpm++"):
+            raise ValueError(
+                f"sampler must be 'default' or 'dpm++' (got {sampler!r})")
         self.n_samples = n_samples
         self.batch_size = batch_size
         self.extractor = make_extractor(use_inception, seed)
@@ -273,6 +278,15 @@ class DiffusionBenchmark:
                                    "ssim": True, "psnr": True}
         self.pairing = pairing
         self.recon_t_frac = recon_t_frac
+        # Sampler used for generation: "default" = the model family's
+        # own `generate_samples` (the reference's benchmark semantics,
+        # `benchmarks.py:229-243`); "dpm++" = DPM-Solver++(2M) with
+        # ``sampler_steps`` evals (ε-prediction families only) — lets
+        # the harness measure how much fidelity the fast ODE sampler
+        # retains vs the full ancestral chain (mirrors
+        # `generate.py --sampler dpm++`).
+        self.sampler = sampler
+        self.sampler_steps = sampler_steps
         # Optional device mesh: sample generation (the dominant cost of a
         # 50k-sample FID run) is distributed over it — DP across "data"
         # plus any TP/SP axes (`parallel.mesh.sampling_scope`).
@@ -339,7 +353,17 @@ class DiffusionBenchmark:
             bs = min(self.batch_size, remaining)
             key, sub = jax.random.split(key)
             with sampling_scope(self.mesh):
-                samples = model.generate_samples(params, sub, bs)
+                if self.sampler == "dpm++":
+                    if not hasattr(model, "generate_samples_dpm"):
+                        raise ValueError(
+                            "benchmark.sampler 'dpm++' needs an "
+                            "ε-prediction model (ddpm/ddim); use "
+                            "'default' for score/energy families")
+                    samples = model.generate_samples_dpm(
+                        params, sub, bs,
+                        num_steps=self.sampler_steps or 20)
+                else:
+                    samples = model.generate_samples(params, sub, bs)
             if sample_dir is not None:
                 from .images import save_image
                 save_image(np.asarray(samples),
