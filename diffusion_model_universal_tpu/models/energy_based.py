@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from ..utils.losses import DiffusionLoss, energy_based_loss
 from .base import Array, BaseDiffusionModel, Params
 from .layers.embeddings import sinusoidal_embedding
-from .schedules import make_noise_schedule, q_sample
+from .schedules import ddpm_posterior_step, make_noise_schedule, q_sample
 
 from ..ops.group_norm import group_norm_silu
 
@@ -117,6 +117,23 @@ class EnergyBasedDiffusion(BaseDiffusionModel):
 
         self.langevin_steps = cfg.get("langevin_steps", 10)
         self.langevin_step_size = cfg.get("langevin_step_size", 0.01)
+        # Training objective: "cd" (reference parity — contrastive
+        # divergence with Langevin negatives + gradient penalty,
+        # `energy_based.py:179-211`) or "dsm" (energy-parameterized
+        # denoising score matching: train −∇ₓE(x_t,t) to match the
+        # Gaussian-perturbation score, i.e. √(1−ᾱ_t)·∇ₓE regresses onto
+        # ε — the unit-scale ε-prediction objective with the score
+        # realized as an energy gradient; see e.g. Salimans & Ho 2021,
+        # arXiv:2101.03288 "How to Train Your Energy-Based Models" §3).
+        # The GP term's 1-Lipschitz pressure makes CD energies unable to
+        # represent the ~1/σ score magnitudes sampling needs at small σ,
+        # so CD grids stay noisy; DSM is the principled route to sample
+        # quality while keeping E(x,t) a genuine scalar energy.
+        self.training_objective = cfg.get("training_objective", "cd")
+        if self.training_objective not in ("cd", "dsm"):
+            raise ValueError(
+                "training_objective must be 'cd' or 'dsm', got "
+                f"{self.training_objective!r}")
 
     def init_params(self, rng: Array) -> Params:
         x = jnp.zeros(self.sample_shape(1), jnp.float32)
@@ -159,6 +176,9 @@ class EnergyBasedDiffusion(BaseDiffusionModel):
         t = jax.random.randint(kt, (b,), 0, self.num_timesteps)
         noise = jax.random.normal(kn, x.shape, x.dtype)
         x_noisy = q_sample(self.schedule, x, t, noise)
+        if self.training_objective == "dsm":
+            eps_pred = self._eps_from_energy(params, x_noisy, t)
+            return jnp.mean((eps_pred - noise) ** 2)
         x_fake = self._langevin(params, x_noisy, t, kl)
 
         energy_fn = lambda z: self.energy_scale * self.apply(params, z, t)
@@ -169,12 +189,32 @@ class EnergyBasedDiffusion(BaseDiffusionModel):
         # per-sample (reference `energy_based.py:205-211`).
         return self.loss_fn(energy_fn(x), energy_fn(x_fake), t)  # [B] inputs
 
+    def _eps_from_energy(self, params: Params, x: Array, t: Array) -> Array:
+        """ε̂ = √(1−ᾱ_t)·∇ₓE(x,t).
+
+        The Gaussian-perturbation score is −ε/√(1−ᾱ_t); with the model
+        score defined as −∇ₓE, matching them gives ∇ₓE = ε/√(1−ᾱ_t).
+        Scaling by √(1−ᾱ_t) turns the energy gradient into a unit-scale
+        ε-prediction usable by both the DSM loss and ancestral sampling.
+        """
+        def energy_sum(z):
+            return jnp.sum(self.apply(params, z, t))
+
+        sigma = jnp.sqrt(1.0 - self.schedule.alphas_cumprod[t])
+        return sigma[:, None, None, None] * jax.grad(energy_sum)(x)
+
     # -- sampling ---------------------------------------------------------
     @functools.partial(jax.jit, static_argnames=("self", "batch_size"))
     def generate_samples(self, params: Params, rng: Array,
                          batch_size: int) -> Array:
-        """Annealed Langevin over the reverse noise sweep
-        (reference `energy_based.py:213-248`)."""
+        """Reverse sweep over the noise schedule: annealed Langevin for
+        CD models (reference `energy_based.py:213-248`); the DDPM
+        ancestral chain on ε̂ = √(1−ᾱ)·∇ₓE for DSM-trained energies."""
+        if self.training_objective == "dsm":
+            k_init, k_loop = jax.random.split(rng)
+            x = jax.random.normal(k_init, self.sample_shape(batch_size))
+            return self._ancestral_range(params, x, k_loop,
+                                         self.num_timesteps, 0, batch_size)
         k_init, k_loop = jax.random.split(rng)
         x = jax.random.normal(k_init, self.sample_shape(batch_size))
         ac = self.schedule.alphas_cumprod
@@ -212,11 +252,32 @@ class EnergyBasedDiffusion(BaseDiffusionModel):
                          reverse=True)
         t_hi = T
         keys = jax.random.split(k_loop, len(save_ts))
+        sweep = (self._ancestral_range
+                 if self.training_objective == "dsm" else self._sweep_range)
         for key, t_save in zip(keys, save_ts):
-            x = self._sweep_range(params, x, key, t_hi, t_save, batch_size)
+            x = sweep(params, x, key, t_hi, t_save, batch_size)
             frames.append(x)
             t_hi = t_save
         return frames
+
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "t_hi", "t_lo", "batch_size"))
+    def _ancestral_range(self, params: Params, x: Array, rng: Array,
+                         t_hi: int, t_lo: int, batch_size: int) -> Array:
+        """DDPM Algorithm-2 steps t_hi−1 … t_lo on the energy's ε̂."""
+        def body(carry, inp):
+            x, = carry
+            t_scalar, key = inp
+            t_b = jnp.full((batch_size,), t_scalar, jnp.int32)
+            eps = self._eps_from_energy(params, x, t_b)
+            noise = jax.random.normal(key, x.shape, x.dtype)
+            x = ddpm_posterior_step(self.schedule, x, t_b, eps, noise)
+            return (x,), None
+
+        ts = jnp.arange(t_hi - 1, t_lo - 1, -1, dtype=jnp.int32)
+        keys = jax.random.split(rng, t_hi - t_lo)
+        (x,), _ = jax.lax.scan(body, (x,), (ts, keys))
+        return x
 
     @functools.partial(jax.jit,
                        static_argnames=("self", "t_hi", "t_lo", "batch_size"))

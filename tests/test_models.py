@@ -281,6 +281,44 @@ def test_score_final_denoise_option():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_energy_dsm_objective():
+    """`training_objective: dsm` trains −∇ₓE as the score — the loss is
+    the unit-scale ε-regression ‖√(1−ᾱ)∇E − ε‖², gradients flow through
+    the second-order ∇_θ∇ₓE, and sampling runs the DDPM ancestral chain
+    on ε̂ = √(1−ᾱ)·∇ₓE. Default 'cd' keeps reference parity."""
+    cfg = dict(TINY, training_objective="dsm")
+    model = EnergyBasedDiffusion(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    loss, grads = jax.value_and_grad(model.loss_function)(
+        params, x, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(g ** 2))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+    # ε̂ identity: √(1−ᾱ_t)·∇ₓ(ΣE) at the requested t.
+    t = jnp.array([1, 5])
+    eps = model._eps_from_energy(params, x, t)
+    manual = jax.grad(
+        lambda z: jnp.sum(model.apply(params, z, t)))(x)
+    sigma = jnp.sqrt(1.0 - model.schedule.alphas_cumprod[t])
+    np.testing.assert_allclose(np.asarray(eps),
+                               np.asarray(sigma[:, None, None, None]
+                                          * manual), rtol=1e-5)
+
+    out = model.generate_samples(params, jax.random.PRNGKey(3), 2)
+    assert out.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    frames = model.generate_samples_with_intermediates(
+        params, jax.random.PRNGKey(4), 1, save_interval=4)
+    assert len(frames) >= 2
+    assert all(f.shape == (1, 32, 32, 3) for f in frames)
+
+    with pytest.raises(ValueError, match="training_objective"):
+        EnergyBasedDiffusion(dict(TINY, training_objective="wgan"))
+
+
 def test_score_sigma_parameterization():
     """`score_parameterization: sigma` (NCSNv2 Technique 3) divides the
     net output by σ — same params, score == raw/σ — and makes the
