@@ -146,9 +146,12 @@ def check(interpret: bool) -> None:
     print("parity OK")
 
 
-def bench(block_b: int) -> None:
-    from bench import _CONV_SHAPES  # noqa: F401  (same host discipline)
-    b, h, c, cout, reps = 2048, 32, 128, 128, 50
+def bench(block_b: int, shape=(32, 128, 128)) -> None:
+    h, c, cout = shape
+    b, reps = 2048, 50
+    # Keep the timed program near bench.py's ~0.25 s target.
+    flops_single = 2.0 * b * h * h * 9 * c * cout
+    reps = min(max(int(0.25 * 197e12 * 0.7 / flops_single), 10), 400)
     key = jax.random.PRNGKey(0)
     kx, kw = jax.random.split(key)
     x = jax.random.normal(kx, (b, h, h, c), jnp.bfloat16) * 0.01
@@ -178,9 +181,14 @@ def bench(block_b: int) -> None:
               flush=True)
         return eff
 
+    print(f"shape (B={b}, {h}x{h}, {c}->{cout}), reps={reps}", flush=True)
     e_xla = timed(conv3x3_xla, "XLA")
-    for variant, bb in (("tap9", 4), ("tap9", 8), ("k3", 2), ("k3", 4),
-                        ("k3", 8)):
+    # Candidate batch blocks sized so a block is ~1-4 MB of VMEM.
+    base = max(2, (1 << 20) // (h * h * c * 2))
+    for variant, bb in (("tap9", base), ("tap9", 2 * base),
+                        ("k3", base // 2 or 1), ("k3", base)):
+        if b % bb:
+            continue
         try:
             e = timed(functools.partial(conv3x3_pallas, block_b=bb,
                                         variant=variant),
@@ -196,9 +204,12 @@ if __name__ == "__main__":
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--bench", action="store_true")
     ap.add_argument("--block_b", type=int, default=4)
+    ap.add_argument("--shape", type=int, nargs=3, default=[32, 128, 128],
+                    metavar=("H", "CIN", "COUT"),
+                    help="conv shape to probe (see bench._CONV_SHAPES)")
     args = ap.parse_args()
     if args.check:
         jax.config.update("jax_platforms", "cpu")
         check(interpret=True)
     if args.bench:
-        bench(args.block_b)
+        bench(args.block_b, tuple(args.shape))
