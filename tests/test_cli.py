@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 
-def _write_config(tmp_path, model_type="ddpm", benchmark=False):
+def _write_config(tmp_path, model_type="ddpm", benchmark=False,
+                  bench_extra=""):
     extra = ""
     if model_type == "ddim":
         extra = "  ddim_sampling_steps: 4\n  eta: 0.0\n"
@@ -19,7 +20,7 @@ def _write_config(tmp_path, model_type="ddpm", benchmark=False):
               batch_size: 8
               save_samples: true
               use_inception: false
-        """)
+        """) + bench_extra
     cfg = textwrap.dedent(f"""
         model_name: "{model_type.upper()}"
         model_config:
@@ -143,3 +144,22 @@ def test_eval_only_benchmark_cli(tmp_path):
     # save_samples: true → at least one sample batch written
     sample_dir = tmp_path / "out" / "benchmark_samples"
     assert sample_dir.exists() and any(sample_dir.iterdir())
+
+
+@pytest.mark.slow
+def test_eval_only_benchmark_dpm_sampler_cli(tmp_path):
+    """benchmark.sampler: dpm++ flows from YAML through train.py into
+    DiffusionBenchmark (the fast-ODE-sampler fidelity path)."""
+    import json
+    from diffusion_model_universal_tpu.scripts import train as train_cli
+
+    cfg_path = _write_config(
+        tmp_path, benchmark=True,
+        bench_extra="  sampler: \"dpm++\"\n  sampler_steps: 4\n")
+    rc = train_cli.main(["--config", str(cfg_path), "--model_type", "ddpm",
+                         "--eval_only", "--benchmark"])
+    assert rc == 0
+    results = json.loads(
+        (tmp_path / "out" / "benchmark_results.json").read_text())
+    for k in ("fid", "is_mean", "ssim", "psnr"):
+        assert k in results and np.isfinite(results[k]), (k, results)
