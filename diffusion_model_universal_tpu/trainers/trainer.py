@@ -84,6 +84,11 @@ class DiffusionTrainer:
             self.training_cfg.get("sample_interval", 5))
         self.checkpoint_interval = int(
             self.training_cfg.get("checkpoint_interval", 10))
+        # Retention for periodic checkpoints: keep the newest N
+        # `checkpoint_epoch_*` (best/emergency/final exempt). 0 = keep
+        # everything (the reference's behavior, `ddpm_trainer.py:850-895`).
+        self.keep_checkpoints = int(
+            self.training_cfg.get("keep_checkpoints", 0))
         self.ema_decay = float(self.training_cfg.get("ema_decay", 0.9999))
         # EMA decay warmup: effective decay min(d, (1+t)/(10+t)). A fixed
         # d=0.9999 EMA initialized at the random init keeps 0.9999^t of
@@ -461,6 +466,8 @@ class DiffusionTrainer:
         """Persist a resumable checkpoint after a preemption request."""
         self.state = state
         self.save_checkpoint(f"checkpoint_epoch_{epoch}", epoch)
+        if self.keep_checkpoints:
+            self.ckpt.prune_epoch_checkpoints(self.keep_checkpoints)
         history["preempted"] = 1.0
         if self.is_main:
             self.logger.log({"train/preempted": 1.0}, int(state.step))
@@ -621,6 +628,9 @@ class DiffusionTrainer:
                 if self.checkpoint_interval and \
                         (epoch + 1) % self.checkpoint_interval == 0:
                     self.save_checkpoint(f"checkpoint_epoch_{epoch}", epoch)
+                    if self.keep_checkpoints:
+                        self.ckpt.prune_epoch_checkpoints(
+                            self.keep_checkpoints)
         except Exception:
             # Emergency checkpoint then re-raise
             # (reference `ddpm_trainer.py:662-667`).

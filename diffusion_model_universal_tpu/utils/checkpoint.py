@@ -108,6 +108,29 @@ class CheckpointManager:
                 best_n, best_name = int(m.group(1)), p.name
         return best_name
 
+    def prune_epoch_checkpoints(self, keep: int) -> list:
+        """Delete all but the newest ``keep`` periodic checkpoints.
+
+        Retention applies ONLY to ``checkpoint_epoch_*`` — ``best_model``,
+        emergency saves, and ``final_model`` are exempt. Main-process-only
+        and called after ``save`` returned (which waits for Orbax to
+        finish), so no host still writes the pruned directories; a 200k-
+        step run with ``checkpoint_interval: 1`` no longer fills the disk.
+        """
+        if not self.is_main or keep <= 0:
+            return []
+        import shutil
+        epochs = []
+        for p in self.directory.glob("checkpoint_epoch_*"):
+            m = re.match(r"checkpoint_epoch_(\d+)$", p.name)
+            if m:
+                epochs.append((int(m.group(1)), p))
+        removed = []
+        for _, p in sorted(epochs)[:-keep]:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p.name)
+        return removed
+
     def exists(self, name: str) -> bool:
         return (self.directory / name).exists()
 

@@ -212,6 +212,28 @@ def test_checkpoint_roundtrip(tmp_path):
     tr2.cleanup()
 
 
+def test_checkpoint_retention(tmp_path):
+    """`training.keep_checkpoints: N` prunes periodic checkpoints down to
+    the newest N after each interval save; best/emergency/final are
+    exempt (retention knob the reference lacks — it keeps every save,
+    `ddpm_trainer.py:850-895`)."""
+    cfg = _tiny_config(tmp_path, training={
+        "num_epochs": 5, "checkpoint_interval": 1, "keep_checkpoints": 2})
+    train, val, test = get_dataset(cfg)
+    tr = DDPMTrainer(DDPM(cfg["model_config"]), train, val, test, cfg)
+    tr.save_checkpoint("best_model", 0)  # retention-exempt
+    tr.train(5)
+    names = sorted(p.name for p in (tmp_path / "out" / "checkpoints")
+                   .glob("checkpoint_epoch_*"))
+    assert names == ["checkpoint_epoch_3", "checkpoint_epoch_4"]
+    assert tr.ckpt.exists("best_model")
+    # Resume still lands on the newest retained checkpoint.
+    assert tr.ckpt.latest_epoch_checkpoint() == "checkpoint_epoch_4"
+    # Manager-level: keep<=0 keeps everything.
+    assert tr.ckpt.prune_epoch_checkpoints(0) == []
+    tr.cleanup()
+
+
 def test_low_precision_state_dtypes(tmp_path):
     """`training.adam_mu_dtype` / `training.ema_dtype` store Adam's first
     moment / the EMA in bf16 (HBM-traffic knobs); a step runs finite and
