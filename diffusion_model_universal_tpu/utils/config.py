@@ -42,6 +42,8 @@ _KNOWN_MODEL_KEYS = {
     "scale_by_sigma", "ema_rate", "noise_schedule", "time_steps",
     "hidden_channels", "compute_dtype", "use_pallas", "mcmc_steps_per_iter",
     "schedule_type", "remat", "num_classes", "cfg_drop_prob",
+    "conv_bias", "final_denoise", "dsm_weighting",
+    "score_parameterization", "training_objective",
 }
 
 

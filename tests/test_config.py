@@ -46,6 +46,11 @@ def test_validate_flags_unknown_keys():
     assert unknown == ["typo_key"]
     with pytest.raises(ValueError):
         C.validate_model_config({"typo_key": 1}, strict=True)
+    # The sample-quality / import knobs are known keys (no false warning).
+    assert C.validate_model_config({
+        "score_parameterization": "sigma", "training_objective": "dsm",
+        "final_denoise": True, "dsm_weighting": "sigma2",
+        "conv_bias": True}) == []
 
 
 def test_load_data_config(tmp_path):
