@@ -1,0 +1,184 @@
+"""Serving-latency benchmark: end-to-end HTTP latency of the sampler server.
+
+Drives the REAL deployment surface (`scripts/serve.py` — compiled
+fixed-batch sampler behind a ThreadingHTTPServer) on the real device and
+measures what a serving user sees: request → PNG/npy bytes wall-clock,
+including JSON parsing, the sliced fixed-batch dispatch, device→host
+transfer and image encoding. The reference has no serving surface at
+all (its pipeline stops at `scripts/generate.py` batch generation,
+/root/reference/scripts/generate.py); this pins the latency claim for
+ours.
+
+Methodology notes (single v5e behind the axon tunnel):
+
+* Weights are random-init — sampler latency is weight-independent
+  (identical compiled program, identical FLOPs).
+* The server always dispatches the compiled ``serve_batch`` program and
+  slices, so `num_samples=1` and `num_samples=serve_batch` differ only
+  in host-side encode cost — both are measured to show that.
+* A concurrent phase (4 client threads) measures sustained throughput:
+  JAX dispatch serializes on the device, so p50 rises with queueing
+  while samples/sec holds — the interesting serving property.
+
+    python scripts/serve_bench.py [--steps 50] [--serve_batch 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import statistics
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _post(base: str, body: dict, timeout: float = 600.0) -> bytes:
+    req = urllib.request.Request(
+        f"{base}/generate", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.read()
+
+
+def _stats(xs):
+    xs = sorted(xs)
+    return {
+        "p50_ms": round(1e3 * xs[len(xs) // 2], 1),
+        "p95_ms": round(1e3 * xs[min(len(xs) - 1, int(len(xs) * 0.95))], 1),
+        "mean_ms": round(1e3 * statistics.fmean(xs), 1),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_channels", type=int, default=128)
+    ap.add_argument("--image_size", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=50,
+                    help="DDIM sampling steps served")
+    ap.add_argument("--serve_batch", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=30)
+    ap.add_argument("--concurrency", type=int, default=4)
+    ap.add_argument("--out", type=str,
+                    default="docs/assets/serve_latency.json")
+    args = ap.parse_args()
+
+    import tempfile
+
+    import jax
+    import yaml
+
+    from diffusion_model_universal_tpu.models import DDIM
+    from diffusion_model_universal_tpu.scripts.serve import (build_argparser,
+                                                             make_server)
+    from diffusion_model_universal_tpu.utils.cache import \
+        enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = {"num_timesteps": 1000, "ddim_sampling_steps": args.steps,
+           "image_size": args.image_size, "in_channels": 3,
+           "model_channels": args.model_channels}
+
+    tmp = tempfile.mkdtemp(prefix="serve_bench_")
+    model = DDIM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt = f"{tmp}/model.ckpt"
+    model.save(ckpt, params)
+    cfg_path = f"{tmp}/cfg.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"model_config": cfg}, f)
+
+    srv = make_server(build_argparser().parse_args([
+        "--config", cfg_path, "--model_type", "ddim",
+        "--checkpoint", ckpt, "--port", "0",
+        "--serve_batch", str(args.serve_batch)]))
+    print(f"[serve-bench] compiling serve_batch={args.serve_batch} "
+          f"DDIM-{args.steps} sampler ...", flush=True)
+    t_warm = srv.service.warmup()
+    print(f"[serve-bench] warmup (compile + first batch): {t_warm:.1f}s",
+          flush=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address[:2]
+    base = f"http://{host}:{port}"
+
+    results = {
+        "config": {"model": "ddim", "steps": args.steps,
+                   "image_size": args.image_size,
+                   "model_channels": args.model_channels,
+                   "serve_batch": args.serve_batch,
+                   "requests_per_phase": args.requests,
+                   "device": str(jax.devices()[0].platform)},
+        "warmup_seconds": round(t_warm, 1),
+    }
+
+    # Phase 1: sequential single-sample PNG requests (interactive user).
+    lat = []
+    for i in range(args.requests):
+        t0 = time.perf_counter()
+        _post(base, {"num_samples": 1, "seed": i})
+        lat.append(time.perf_counter() - t0)
+    results["sequential_1_png"] = _stats(lat)
+
+    # Phase 2: sequential full-batch npy (bulk consumer, no encode cost).
+    lat = []
+    for i in range(args.requests):
+        t0 = time.perf_counter()
+        _post(base, {"num_samples": args.serve_batch, "seed": i,
+                     "format": "npy"})
+        lat.append(time.perf_counter() - t0)
+    results["sequential_batch_npy"] = _stats(lat)
+    per_img = statistics.fmean(lat) / args.serve_batch
+    results["sequential_batch_npy"]["images_per_sec"] = round(1 / per_img, 1)
+
+    # Phase 3: concurrent clients — queueing latency + sustained rate.
+    lat, errs = [], []
+    lock = threading.Lock()
+
+    def client(tid: int) -> None:
+        for i in range(args.requests):
+            t0 = time.perf_counter()
+            try:
+                _post(base, {"num_samples": args.serve_batch,
+                             "seed": tid * 1000 + i, "format": "npy"})
+                dt = time.perf_counter() - t0
+                with lock:
+                    lat.append(dt)
+            except Exception as e:  # pragma: no cover - diagnostics
+                with lock:
+                    errs.append(repr(e))
+
+    threads = [threading.Thread(target=client, args=(t,))
+               for t in range(args.concurrency)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    n_req = args.concurrency * args.requests
+    results["concurrent"] = {
+        **_stats(lat),
+        "clients": args.concurrency,
+        "errors": len(errs),
+        "requests_per_sec": round(n_req / wall, 2),
+        "images_per_sec": round(n_req * args.serve_batch / wall, 1),
+    }
+
+    srv.shutdown()
+    srv.server_close()
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

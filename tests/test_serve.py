@@ -161,3 +161,31 @@ def test_conditional_server_cfg(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_serve_bench_script(tmp_path):
+    """scripts/serve_bench.py end-to-end on the CPU mesh: all three
+    phases (sequential PNG, sequential npy, concurrent clients) complete
+    and the JSON summary has finite latency stats."""
+    import runpy
+    import sys
+    from pathlib import Path
+
+    script = str(Path(__file__).resolve().parent.parent / "scripts"
+                 / "serve_bench.py")
+    out = tmp_path / "serve_latency.json"
+    argv = sys.argv
+    sys.argv = ["serve_bench.py", "--model_channels", "8", "--steps", "4",
+                "--serve_batch", "8", "--requests", "2",
+                "--concurrency", "2", "--out", str(out)]
+    try:
+        with pytest.raises(SystemExit) as exc:
+            runpy.run_path(script, run_name="__main__")
+        assert exc.value.code == 0
+    finally:
+        sys.argv = argv
+    results = json.loads(out.read_text())
+    for phase in ("sequential_1_png", "sequential_batch_npy", "concurrent"):
+        assert results[phase]["p50_ms"] > 0, (phase, results)
+    assert results["concurrent"]["errors"] == 0
+    assert results["sequential_batch_npy"]["images_per_sec"] > 0
