@@ -158,3 +158,30 @@ def test_gn_block_rows_divides_batch():
         assert b % r == 0 and 1 <= r <= b
     # Tiny spatial: whole batch in one block.
     assert _block_rows(8, 16, 64, bufs=2) == 8
+
+
+def test_conv_probe_kernel_batch_packed_tiny_spatial():
+    """The conv-probe implicit-GEMM kernel (scripts/exp_conv_kernel.py)
+    is correct at the UNet's tiny-spatial bottleneck shapes, where the
+    (block_b·H·W, C) GEMM reshape packs BATCH into the sublane rows —
+    the formulation probed on hardware for the 2x2/4x4 C=512/256 shapes
+    (batch-in-sublanes: at H=2 a spatial row can't fill the MXU)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                           / "scripts"))
+    import exp_conv_kernel as eck
+
+    key = jax.random.PRNGKey(0)
+    for h, c, cout, bb in [(2, 32, 32, 16), (4, 24, 16, 8), (8, 16, 16, 4)]:
+        kx, kw = jax.random.split(jax.random.fold_in(key, h))
+        x = jax.random.normal(kx, (32, h, h, c), jnp.float32)
+        w = jax.random.normal(kw, (3, 3, c, cout), jnp.float32) * 0.1
+        for variant in ("tap9", "k3"):
+            got = eck.conv3x3_pallas(x, w, block_b=bb, variant=variant,
+                                     interpret=True)
+            want = eck.conv3x3_xla(x, w)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4,
+                err_msg=f"h={h} variant={variant}")
