@@ -137,7 +137,14 @@ class DiffusionTrainer:
             (self.config.get("logging", {}) or {}).get(
                 "track_histograms", False)) and jax.process_count() == 1
 
-        steps_per_epoch = max(len(train_loader), 1)
+        # Gradient accumulation: A micro-batches -> ONE optimizer update
+        # (training.grad_accum_steps). The LR schedule and epoch math
+        # count OPTIMIZER steps, so steps_per_epoch shrinks by A.
+        self.grad_accum = int(self.training_cfg.get("grad_accum_steps", 1))
+        if self.grad_accum < 1:
+            raise ValueError("training.grad_accum_steps must be >= 1 "
+                             f"(got {self.grad_accum})")
+        steps_per_epoch = max(len(train_loader) // self.grad_accum, 1)
         self.steps_per_epoch = steps_per_epoch
         from .optim import make_optimizer
         self.optimizer, self.lr_schedule = make_optimizer(
@@ -168,9 +175,10 @@ class DiffusionTrainer:
         self._batch_sharding = batch_sharding(self.mesh)
 
         # ---- jitted steps ----------------------------------------------
-        def train_step(state: TrainState, batch, key):
-            loss, grads = jax.value_and_grad(model.loss_function)(
-                state.params, batch, key)
+        def _update(state: TrainState, loss, grads):
+            """Optimizer + EMA + metrics from already-computed grads —
+            the shared tail of the plain and gradient-accumulation
+            steps."""
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -199,6 +207,11 @@ class DiffusionTrainer:
                            lambda g: jnp.sqrt(jnp.sum(
                                g.astype(jnp.float32) ** 2)), grads)}
             return new_state, metrics
+
+        def train_step(state: TrainState, batch, key):
+            loss, grads = jax.value_and_grad(model.loss_function)(
+                state.params, batch, key)
+            return _update(state, loss, grads)
 
         def _scoped(fn):
             """Run trace+dispatch of a jitted step under the activation
@@ -260,6 +273,45 @@ class DiffusionTrainer:
             in_shardings=(self._state_sharding, scan_batch_sharding, repl),
             out_shardings=(self._state_sharding, None)))
         self.scan_steps = int(self.training_cfg.get("scan_steps", 1))
+        if self.scan_steps > 1 and self.grad_accum > 1:
+            raise ValueError(
+                "training.scan_steps and training.grad_accum_steps are "
+                "mutually exclusive: scan_steps amortizes dispatch over K "
+                "optimizer steps, grad_accum_steps folds A micro-batches "
+                "into one update — set one of them to 1")
+
+        # Gradient-accumulation step: batches [A, B, ...] -> ONE update.
+        # A lax.scan sequentializes the micro-batches, so activation
+        # memory stays at ONE micro-batch (the point of accumulation:
+        # effective batch A*B at high resolution where A*B activations
+        # don't fit HBM); only an f32 param-sized grad accumulator is
+        # added. Grads are averaged — identical semantics to one A*B
+        # batch whose loss is a mean, up to per-micro-batch RNG.
+        def train_step_accum(state: TrainState, batches, key):
+            vg = jax.value_and_grad(model.loss_function)
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+
+            def body(carry, mb):
+                i, loss_s, grads_s = carry
+                loss, grads = vg(state.params, mb,
+                                 jax.random.fold_in(key, i))
+                grads_s = jax.tree_util.tree_map(
+                    lambda a, g: a + g.astype(jnp.float32), grads_s, grads)
+                return (i + 1, loss_s + loss, grads_s), None
+
+            (_, loss_s, grads_s), _ = jax.lax.scan(
+                body, (jnp.int32(0), jnp.float32(0.0), zeros), batches)
+            inv = 1.0 / jax.tree_util.tree_leaves(batches)[0].shape[0]
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g * inv).astype(p.dtype), grads_s,
+                state.params)
+            return _update(state, loss_s * inv, grads)
+
+        self.train_step_accum = _scoped(jax.jit(
+            train_step_accum, donate_argnums=(0, 1),
+            in_shardings=(self._state_sharding, scan_batch_sharding, None),
+            out_shardings=(self._state_sharding, None)))
 
         def eval_step(params, batch, mask, key, offset):
             """Masked per-sample eval: (Σ maskᵢ·lossᵢ, Σ maskᵢ).
@@ -388,19 +440,33 @@ class DiffusionTrainer:
         ``training.scan_steps`` > 1 to amortize the per-dispatch
         host→device round trip (milliseconds under a tunneled runtime)
         across K steps."""
+        return self.train_step_scan(state, self._stack_chunk(chunk),
+                                    jnp.asarray(step, jnp.int32))
+
+    def _stack_chunk(self, chunk):
+        """Stack a list of per-step batches into one [K, B, ...] device
+        tree (shared by the scan-dispatch and grad-accumulation paths)."""
         if jax.process_count() > 1:
             # Stack host-side: the global array is assembled from each
             # process's LOCAL shard (a device-side stack would round-trip
             # already-device-resident batches device→host→device).
             sh = NamedSharding(self.mesh, P(None, *self._batch_sharding.spec))
-            stacked = jax.tree_util.tree_map(
+            return jax.tree_util.tree_map(
                 lambda *bs: jax.make_array_from_process_local_data(
                     sh, np.stack([np.asarray(b) for b in bs])), *chunk)
-        else:
-            stacked = jax.tree_util.tree_map(
-                lambda *bs: jnp.stack([jnp.asarray(b) for b in bs]), *chunk)
-        return self.train_step_scan(state, stacked,
-                                    jnp.asarray(step, jnp.int32))
+        return jax.tree_util.tree_map(
+            lambda *bs: jnp.stack([jnp.asarray(b) for b in bs]), *chunk)
+
+    def accum_step(self, micro_batches, key=None) -> Dict[str, Any]:
+        """ONE optimizer update from ``len(micro_batches)`` micro-batches
+        (gradient accumulation), owning the donated-state handoff like
+        :meth:`step`. Grads are the mean over micro-batches; each
+        micro-batch draws its own timesteps/noise via ``fold_in(key, i)``."""
+        if key is None:
+            key = self._step_key(int(self.state.step))
+        self.state, metrics = self.train_step_accum(
+            self.state, self._stack_chunk(micro_batches), key)
+        return metrics
 
     # ------------------------------------------------------------------
     def profile(self, steps: int = 5,
@@ -547,6 +613,43 @@ class DiffusionTrainer:
                             self._save_preempt_checkpoint(state, epoch,
                                                           history)
                             return history
+                    batches = ()  # consumed
+
+                if self.grad_accum > 1:
+                    # A-micro-batches-per-update path: loss/grad-norm
+                    # metrics come back per OPTIMIZER step.
+                    chunk = []
+                    for batch in batches:
+                        chunk.append(batch)
+                        if len(chunk) < self.grad_accum:
+                            continue
+                        state, metrics = self.train_step_accum(
+                            state, self._stack_chunk(chunk),
+                            self._step_key(step))
+                        chunk = []
+                        epoch_losses.append(metrics["loss"])
+                        if self.is_main and step % self.log_interval == 0:
+                            self.logger.log({
+                                "train/loss": float(metrics["loss"]),
+                                "train/grad_norm":
+                                    float(metrics["grad_norm"]),
+                                "train/learning_rate":
+                                    float(self.lr_schedule(step)),
+                            }, step)
+                        step += 1
+                        if self.val_interval and \
+                                step % self.val_interval == 0:
+                            self._validate_and_save_best(state, step, epoch)
+                        if self._preemption_agreed():
+                            self._save_preempt_checkpoint(state, epoch,
+                                                          history)
+                            return history
+                    for batch in chunk:  # ragged tail → plain steps
+                        state, metrics = self.train_step(
+                            state, self._global_batch(batch),
+                            self._step_key(step))
+                        epoch_losses.append(metrics["loss"])
+                        step += 1
                     batches = ()  # consumed
 
                 for batch in batches:

@@ -535,3 +535,83 @@ def test_profile_writes_trace(trainer, tmp_path):
     assert int(trainer.state.step) == step0 + 3  # 1 warmup + 2 traced
     files = [f for f in Path(d).rglob("*") if f.is_file()]
     assert files, "no trace files written"
+
+
+def test_grad_accum_matches_manual_average(tmp_path, monkeypatch):
+    """training.grad_accum_steps: ONE update from A micro-batches equals
+    the hand-computed mean-of-grads update with the same per-micro-batch
+    keys (fold_in(key, i)) — pinning the accumulation semantics.
+
+    SGD instead of Adam: Adam's rsqrt amplifies sharded-reduction float
+    noise into sign flips on near-zero grads (same rationale as
+    test_scan_steps_matches_single_step_path)."""
+    import optax as _optax
+    from diffusion_model_universal_tpu.trainers import optim as optim_mod
+
+    monkeypatch.setattr(
+        optim_mod, "make_optimizer",
+        lambda cfg, spe, ne: (_optax.sgd(_optax.constant_schedule(1e-3)),
+                              _optax.constant_schedule(1e-3)))
+    cfg = _tiny_config(tmp_path, training={"grad_accum_steps": 2})
+    train, val, test = get_dataset(cfg)
+    model = DDPM(cfg["model_config"])
+    tr = DDPMTrainer(model, train, val, test, cfg)
+    it = iter(tr.train_loader)
+    mbs = [next(it), next(it)]
+    key = jax.random.PRNGKey(123)
+
+    params0 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    opt_state0 = tr.state.opt_state
+    grads = [
+        jax.grad(model.loss_function)(tr.state.params, jnp.asarray(mb),
+                                      jax.random.fold_in(key, i))
+        for i, mb in enumerate(mbs)
+    ]
+    mean_grads = jax.tree_util.tree_map(
+        lambda a, b: (a + b) / 2.0, *grads)
+    updates, _ = tr.optimizer.update(mean_grads, opt_state0,
+                                     tr.state.params)
+    want = _optax.apply_updates(tr.state.params, updates)
+
+    metrics = tr.accum_step(mbs, key=key)
+    assert np.isfinite(float(metrics["loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=2e-6)
+    # And the params actually moved.
+    moved = any(
+        not np.allclose(np.asarray(a), b)
+        for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                        jax.tree_util.tree_leaves(params0)))
+    assert moved
+    tr.cleanup()
+
+
+def test_grad_accum_train_loop_and_ragged_tail(tmp_path):
+    """A full epoch with grad_accum_steps=4 over a non-divisible number
+    of micro-batches: optimizer steps = full groups + ragged singles,
+    the LR schedule counts optimizer steps, and the loop stays green."""
+    cfg = _tiny_config(tmp_path, training={"grad_accum_steps": 4})
+    cfg["data"]["num_samples"] = 112  # 89 train -> 11 micro-batches
+    train, val, test = get_dataset(cfg)
+    model = DDPM(cfg["model_config"])
+    tr = DDPMTrainer(model, train, val, test, cfg)
+    n_micro = len(tr.train_loader)
+    history = tr.train(1)
+    want_steps = n_micro // 4 + n_micro % 4
+    assert int(tr.state.step) == want_steps
+    assert tr.steps_per_epoch == max(n_micro // 4, 1)
+    assert np.isfinite(history["train_loss"])
+    tr.cleanup()
+
+
+def test_grad_accum_rejects_scan_steps(tmp_path):
+    """scan_steps and grad_accum_steps are mutually exclusive — a clear
+    config error, not silent misbehavior."""
+    cfg = _tiny_config(tmp_path, training={"grad_accum_steps": 2,
+                                           "scan_steps": 2})
+    train, val, test = get_dataset(cfg)
+    model = DDPM(cfg["model_config"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        DDPMTrainer(model, train, val, test, cfg)
