@@ -615,3 +615,42 @@ def test_grad_accum_rejects_scan_steps(tmp_path):
     model = DDPM(cfg["model_config"])
     with pytest.raises(ValueError, match="mutually exclusive"):
         DDPMTrainer(model, train, val, test, cfg)
+
+
+def test_grad_accum_activation_memory_stays_at_micro_batch(tmp_path):
+    """XLA's own memory analysis confirms the point of accumulation:
+    the A=4 x B=64 accumulation step holds roughly ONE micro-batch of
+    activations (scan sequentializes), while a plain B=256 step holds
+    four -- so its temp allocation must be well under the big-batch
+    step's."""
+    def build(training):
+        # Batches big enough that saved-for-backward activations dwarf
+        # the param-sized temporaries (grads, Adam moments) — at tiny
+        # batch the param terms dominate temp and hide the effect.
+        cfg = _tiny_config(tmp_path, training=training)
+        cfg["data"]["num_samples"] = 1600
+        train, val, test = get_dataset(cfg)
+        model = DDPM(cfg["model_config"])
+        return DDPMTrainer(model, train, val, test, cfg)
+
+    tr_a = build({"grad_accum_steps": 4, "batch_size": 64})
+    mbs = []
+    it = iter(tr_a.train_loader)
+    for _ in range(4):
+        mbs.append(next(it))
+    stacked = tr_a._stack_chunk(mbs)
+    key = jax.random.PRNGKey(0)
+    mem_a = tr_a.train_step_accum.lower(
+        tr_a.state, stacked, key).compile().memory_analysis()
+
+    tr_b = build({"batch_size": 256})
+    batch = next(iter(tr_b.train_loader))
+    mem_b = tr_b.train_step.lower(
+        tr_b.state, tr_b._global_batch(batch),
+        key).compile().memory_analysis()
+
+    assert mem_a.temp_size_in_bytes > 0 and mem_b.temp_size_in_bytes > 0
+    assert mem_a.temp_size_in_bytes < 0.6 * mem_b.temp_size_in_bytes, (
+        mem_a.temp_size_in_bytes, mem_b.temp_size_in_bytes)
+    tr_a.cleanup()
+    tr_b.cleanup()
