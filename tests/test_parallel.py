@@ -342,3 +342,44 @@ def test_eval_counts_every_sample_any_layout(tmp_path):
     assert np.isfinite(vals[0])
     for v in vals[1:]:
         np.testing.assert_allclose(vals[0], v, rtol=1e-5)
+
+
+def test_grad_accum_step_matches_single_device(tmp_path, monkeypatch):
+    """The gradient-accumulation step under 8-way DP equals the same
+    accumulation on one device — the in-jit scan + mean-of-grads must
+    commute with batch sharding (SGD for the same float-noise rationale
+    as test_dp_train_step_matches_single_device)."""
+    import optax as _optax
+    from diffusion_model_universal_tpu.trainers import optim as optim_mod
+
+    def sgd_optimizer(training_cfg, steps_per_epoch, num_epochs):
+        sched = _optax.constant_schedule(1e-3)
+        return _optax.sgd(sched), sched
+
+    monkeypatch.setattr(optim_mod, "make_optimizer", sgd_optimizer)
+
+    cfg = _config(tmp_path)
+    cfg["training"]["grad_accum_steps"] = 2
+    loader = _loader()
+    it = iter(loader)
+    mbs = [next(it), next(it)]
+
+    model = DDPM(TINY)
+    tr8 = DDPMTrainer(model, loader, loader, loader, cfg,
+                      mesh=M.make_mesh())
+    tr1 = DDPMTrainer(model, loader, loader, loader, cfg,
+                      mesh=M.make_mesh(jax.devices()[:1]))
+
+    key = jax.random.PRNGKey(7)
+    m8 = tr8.accum_step(mbs, key=key)
+    m1 = tr1.accum_step(mbs, key=key)
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(tr8.state.params),
+                    jax.tree_util.tree_leaves(tr1.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+    assert int(tr8.state.step) == int(tr1.state.step) == 1
+    tr8.cleanup()
+    tr1.cleanup()
