@@ -133,7 +133,8 @@ _CONV_SHAPES = [  # (H, Cin, Cout, k, stride, flop_share)
 ]
 
 
-def measure_conv_efficiency(peak: float, batch_size: int) -> float:
+def measure_conv_efficiency(peak: float, batch_size: int,
+                            per_shape: list = None) -> float:
     """Measured MXU efficiency of XLA's conv kernels at THIS model's
     actual shapes (the auditable basis for the achievable roofline).
 
@@ -147,6 +148,12 @@ def measure_conv_efficiency(peak: float, batch_size: int) -> float:
     shapes; fwd efficiency stands in for all (documented approximation,
     BENCH_NOTES.md). Per-shape programs land in the persistent compile
     cache, so repeat bench runs skip the compiles.
+
+    ``per_shape``: optional list that receives one record per shape
+    (h, cin, cout, k, stride, share, ms_per_conv, eff) — the SAME
+    timed programs the aggregate is built from, so per-shape analyses
+    (scripts/exp_conv_shapes.py) reconcile with the bench by
+    construction instead of by a copied loop.
     """
     import jax
     import jax.numpy as jnp
@@ -194,7 +201,11 @@ def measure_conv_efficiency(peak: float, batch_size: int) -> float:
         out = jitted(x, w)
         _ = np.asarray(out)
         dt = time.perf_counter() - t0
-        weighted += share * (flops / dt / peak)
+        eff = flops / dt / peak
+        if per_shape is not None:
+            per_shape.append((h, cin, cout, k, stride, share,
+                              dt * 1e3 / reps, eff))
+        weighted += share * eff
         total_share += share
     return weighted / total_share if total_share else 0.0
 

@@ -144,7 +144,10 @@ class DiffusionTrainer:
         if self.grad_accum < 1:
             raise ValueError("training.grad_accum_steps must be >= 1 "
                              f"(got {self.grad_accum})")
-        steps_per_epoch = max(len(train_loader) // self.grad_accum, 1)
+        # ceil: the ragged tail is ONE (smaller) accumulation update, so
+        # optimizer steps per epoch = ceil(micro_batches / A) and the LR
+        # schedule's total_steps matches what the loop actually runs.
+        steps_per_epoch = max(-(-len(train_loader) // self.grad_accum), 1)
         self.steps_per_epoch = steps_per_epoch
         from .optim import make_optimizer
         self.optimizer, self.lr_schedule = make_optimizer(
@@ -617,16 +620,25 @@ class DiffusionTrainer:
 
                 if self.grad_accum > 1:
                     # A-micro-batches-per-update path: loss/grad-norm
-                    # metrics come back per OPTIMIZER step.
-                    chunk = []
-                    for batch in batches:
-                        chunk.append(batch)
-                        if len(chunk) < self.grad_accum:
-                            continue
+                    # metrics come back per OPTIMIZER step. The ragged
+                    # tail is ONE smaller accumulation update (its own
+                    # [A', B, ...] program, compiled once per run) so
+                    # every optimizer step runs the same hook block and
+                    # the ceil-based steps_per_epoch accounting holds.
+                    def _accum_chunks(it):
+                        buf = []
+                        for b in it:
+                            buf.append(b)
+                            if len(buf) == self.grad_accum:
+                                yield buf
+                                buf = []
+                        if buf:
+                            yield buf
+
+                    for chunk in _accum_chunks(batches):
                         state, metrics = self.train_step_accum(
                             state, self._stack_chunk(chunk),
                             self._step_key(step))
-                        chunk = []
                         epoch_losses.append(metrics["loss"])
                         if self.is_main and step % self.log_interval == 0:
                             self.logger.log({
@@ -644,12 +656,6 @@ class DiffusionTrainer:
                             self._save_preempt_checkpoint(state, epoch,
                                                           history)
                             return history
-                    for batch in chunk:  # ragged tail → plain steps
-                        state, metrics = self.train_step(
-                            state, self._global_batch(batch),
-                            self._step_key(step))
-                        epoch_losses.append(metrics["loss"])
-                        step += 1
                     batches = ()  # consumed
 
                 for batch in batches:

@@ -161,13 +161,15 @@ def main() -> int:
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
-    n_req = args.concurrency * args.requests
+    # Throughput counts SUCCESSFUL requests only; a failing phase must
+    # not report inflated rates next to a nonzero error count.
     results["concurrent"] = {
-        **_stats(lat),
+        **(_stats(lat) if lat else {}),
         "clients": args.concurrency,
         "errors": len(errs),
-        "requests_per_sec": round(n_req / wall, 2),
-        "images_per_sec": round(n_req * args.serve_batch / wall, 1),
+        "error_samples": errs[:3],
+        "requests_per_sec": round(len(lat) / wall, 2),
+        "images_per_sec": round(len(lat) * args.serve_batch / wall, 1),
     }
 
     srv.shutdown()

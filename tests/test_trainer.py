@@ -590,18 +590,20 @@ def test_grad_accum_matches_manual_average(tmp_path, monkeypatch):
 
 def test_grad_accum_train_loop_and_ragged_tail(tmp_path):
     """A full epoch with grad_accum_steps=4 over a non-divisible number
-    of micro-batches: optimizer steps = full groups + ragged singles,
-    the LR schedule counts optimizer steps, and the loop stays green."""
+    of micro-batches: the ragged tail is ONE smaller accumulation
+    update, so optimizer steps = ceil(micro_batches / A) — exactly what
+    the LR schedule's steps_per_epoch was built for."""
     cfg = _tiny_config(tmp_path, training={"grad_accum_steps": 4})
     cfg["data"]["num_samples"] = 112  # 89 train -> 11 micro-batches
     train, val, test = get_dataset(cfg)
     model = DDPM(cfg["model_config"])
     tr = DDPMTrainer(model, train, val, test, cfg)
     n_micro = len(tr.train_loader)
+    assert n_micro % 4 != 0  # the tail must actually exist
     history = tr.train(1)
-    want_steps = n_micro // 4 + n_micro % 4
+    want_steps = -(-n_micro // 4)
     assert int(tr.state.step) == want_steps
-    assert tr.steps_per_epoch == max(n_micro // 4, 1)
+    assert tr.steps_per_epoch == want_steps
     assert np.isfinite(history["train_loss"])
     tr.cleanup()
 
