@@ -130,6 +130,33 @@ def conv3x3_xla(x, w):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3x3_pallas_vjp(x, w, block_b: int = 4, interpret: bool = False):
+    """Differentiable packed conv: Pallas tap9 FORWARD + XLA-autodiff
+    BACKWARD (dgrad/dwgrad are themselves convs, where XLA's emitter is
+    already at its ceiling — the probe's tap9 result). This is the form
+    that could land in the UNet behind a flag for the tiny-spatial
+    bottleneck shapes IF the hardware probe shows a win there; built and
+    gradient-tested ahead of the measurement so landing is one step."""
+    return conv3x3_pallas(x, w, block_b=block_b, interpret=interpret)
+
+
+def _vjp_fwd(x, w, block_b, interpret):
+    return (conv3x3_pallas(x, w, block_b=block_b, interpret=interpret),
+            (x, w))
+
+
+def _vjp_bwd(block_b, interpret, res, g):
+    x, w = res
+    # The mathematically-equivalent XLA conv's VJP — identical grads up
+    # to float noise, with XLA's fused dgrad/wgrad kernels.
+    _, pullback = jax.vjp(conv3x3_xla, x, w)
+    return pullback(g)
+
+
+conv3x3_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
 def check(interpret: bool) -> None:
     key = jax.random.PRNGKey(0)
     kx, kw = jax.random.split(key)

@@ -185,3 +185,35 @@ def test_conv_probe_kernel_batch_packed_tiny_spatial():
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4,
                 err_msg=f"h={h} variant={variant}")
+
+
+def test_conv_probe_custom_vjp_grads_match_xla():
+    """conv3x3_pallas_vjp (Pallas forward + XLA-autodiff backward) must
+    produce the same value AND gradients as the plain XLA conv — the
+    landing form for a per-shape production conv if the hardware probe
+    shows a tiny-spatial win."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                           / "scripts"))
+    import exp_conv_kernel as eck
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.normal(kx, (16, 2, 2, 48), jnp.float32) * 0.3
+    w = jax.random.normal(kw, (3, 3, 48, 32), jnp.float32) * 0.1
+
+    def f_pallas(x, w):
+        return jnp.sum(jnp.tanh(
+            eck.conv3x3_pallas_vjp(x, w, 8, True)))
+
+    def f_xla(x, w):
+        return jnp.sum(jnp.tanh(eck.conv3x3_xla(x, w)))
+
+    v_p, (dx_p, dw_p) = jax.value_and_grad(f_pallas, argnums=(0, 1))(x, w)
+    v_x, (dx_x, dw_x) = jax.value_and_grad(f_xla, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_x),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_x),
+                               atol=1e-5, rtol=1e-5)
