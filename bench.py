@@ -314,13 +314,46 @@ def bench_training(peak: float) -> None:
     trainer.cleanup()
 
 
+def init_devices_or_die(timeout_s: float = None):
+    """Initialize the JAX backend with a watchdog.
+
+    Behind the tunneled TPU runtime, ``jax.devices()`` can hang
+    INDEFINITELY if the tunnel is unhealthy (observed: a multi-hour
+    outage where device init never returned and never errored). A
+    bench that hangs forever is worse than one that fails: fail
+    loudly after ``DMU_BENCH_INIT_TIMEOUT`` (default 900 s — well past
+    any healthy init) so the driver records a diagnosable error.
+    """
+    import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("DMU_BENCH_INIT_TIMEOUT", "900"))
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "metric": "BENCH FAILED: device init timeout",
+            "value": timeout_s, "unit": "seconds", "vs_baseline": 0.0,
+        }), flush=True)
+        raise SystemExit(1)
+    return out["devices"]
+
+
 def main() -> None:
-    import jax
+    devices = init_devices_or_die()
 
     from diffusion_model_universal_tpu.utils.cache import \
         enable_compilation_cache
     enable_compilation_cache()
-    peak = peak_flops_for(jax.devices()[0])
+    peak = peak_flops_for(devices[0])
 
     if os.environ.get("DMU_BENCH_SAMPLER", "1") != "0":
         bench_sampler(peak)
