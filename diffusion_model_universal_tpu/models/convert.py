@@ -137,6 +137,146 @@ def convert_ddpm_unet_state_dict(sd: Dict[str, Any]) -> Tree:
     return params
 
 
+# --------------------------------------------------------------------------
+# Export: flax params → reference torch state_dict (the exact inverse)
+# --------------------------------------------------------------------------
+
+def _zeros_bias(tree: Tree, out_key: str, weight: np.ndarray,
+                exp: Dict[str, np.ndarray]) -> None:
+    """Reference convs/linears ALWAYS have biases (PyTorch defaults);
+    models trained here with ``conv_bias: false`` export zero biases —
+    functionally identical (every such conv feeds a GroupNorm whose β
+    already carries the offset)."""
+    exp[out_key] = np.asarray(tree["bias"], np.float32) if "bias" in tree \
+        else np.zeros(weight.shape[0], np.float32)
+
+
+def _exp_conv(tree: Tree, p: str, exp: Dict[str, np.ndarray]) -> None:
+    w = np.ascontiguousarray(
+        np.asarray(tree["kernel"], np.float32).transpose(3, 2, 0, 1))
+    exp[f"{p}.weight"] = w
+    _zeros_bias(tree, f"{p}.bias", w, exp)
+
+
+def _exp_conv_t(tree: Tree, p: str, exp: Dict[str, np.ndarray]) -> None:
+    k = np.asarray(tree["kernel"], np.float32)      # [kh, kw, I, O]
+    w = np.ascontiguousarray(
+        k.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1])  # → [I, O, kh, kw]
+    exp[f"{p}.weight"] = w
+    # ConvTranspose2d bias is per OUTPUT channel = dim 1 of [I, O, kh, kw]
+    exp[f"{p}.bias"] = (np.asarray(tree["bias"], np.float32)
+                        if "bias" in tree
+                        else np.zeros(w.shape[1], np.float32))
+
+
+def _exp_linear(tree: Tree, p: str, exp: Dict[str, np.ndarray]) -> None:
+    exp[f"{p}.weight"] = np.ascontiguousarray(
+        np.asarray(tree["kernel"], np.float32).T)
+    exp[f"{p}.bias"] = np.asarray(tree["bias"], np.float32)
+
+
+def _exp_gn(tree: Tree, p: str, exp: Dict[str, np.ndarray]) -> None:
+    exp[f"{p}.weight"] = np.asarray(tree["scale"], np.float32)
+    exp[f"{p}.bias"] = np.asarray(tree["bias"], np.float32)
+
+
+def _exp_res_block(tree: Tree, p: str, exp: Dict[str, np.ndarray]) -> None:
+    _exp_gn(tree["norm1"], f"{p}.norm1", exp)
+    _exp_conv(tree["conv1"], f"{p}.conv1", exp)
+    _exp_linear(tree["time_proj"], f"{p}.time_mlp", exp)
+    _exp_gn(tree["norm2"], f"{p}.norm2", exp)
+    _exp_conv(tree["conv2"], f"{p}.conv2", exp)
+    if "shortcut" in tree:
+        _exp_conv(tree["shortcut"], f"{p}.shortcut", exp)
+
+
+def _exp_attention(tree: Tree, p: str, exp: Dict[str, np.ndarray]) -> None:
+    _exp_linear(tree["query"], f"{p}.query_projection", exp)
+    _exp_linear(tree["key"], f"{p}.key_projection", exp)
+    _exp_linear(tree["value"], f"{p}.value_projection", exp)
+    _exp_linear(tree["proj"], f"{p}.final_projection", exp)
+    exp[f"{p}.norm.weight"] = np.asarray(tree["norm_scale"], np.float32)
+    exp[f"{p}.norm.bias"] = np.asarray(tree["norm_bias"], np.float32)
+
+
+def _exp_stage(tree: Tree, p: str, attn: bool, resample_key: str,
+               exp: Dict[str, np.ndarray], num_layers: int = 2) -> None:
+    for i in range(num_layers):
+        _exp_res_block(tree[f"res{i}"], f"{p}.res_blocks.{i}", exp)
+        if attn:
+            _exp_attention(tree[f"attn{i}"], f"{p}.attention_blocks.{i}",
+                           exp)
+    src = "downsample" if resample_key == "down" else "upsample"
+    conv = _exp_conv if resample_key == "down" else _exp_conv_t
+    conv(tree[resample_key]["conv"], f"{p}.{src}", exp)
+
+
+def export_ddpm_unet_params(params: Tree) -> Dict[str, np.ndarray]:
+    """Flax UNet params → reference UNet state_dict keys (bare, no
+    ``model.`` prefix) — the exact inverse of
+    :func:`convert_ddpm_unet_state_dict` (roundtrip pinned in
+    ``tests/test_golden_torch.py``). Missing conv biases (the default
+    ``conv_bias: false`` parameterization) export as zeros, which is
+    functionally identical under the following GroupNorms."""
+    exp: Dict[str, np.ndarray] = {}
+    _exp_conv(params["initial_conv"], "initial_conv", exp)
+    te = params["time_embedding"]
+    _exp_linear(te["dense1"], "time_embedding.positional_encoding.1", exp)
+    _exp_linear(te["dense2"], "time_embedding.positional_encoding.3", exp)
+    for i in range(5):
+        _exp_stage(params[f"down{i}"], f"down_blocks.{i}", attn=(i == 3),
+                   resample_key="down", exp=exp)
+        _exp_stage(params[f"up{i}"], f"up_blocks.{i}", attn=(i == 1),
+                   resample_key="up", exp=exp)
+    _exp_res_block(params["mid_res1"], "bottleneck.0", exp)
+    _exp_attention(params["mid_attn"], "bottleneck.1", exp)
+    _exp_res_block(params["mid_res2"], "bottleneck.2", exp)
+    _exp_gn(params["out_norm"], "output_conv.0", exp)
+    _exp_conv(params["output_conv"], "output_conv.2", exp)
+    return exp
+
+
+def export_ddpm_checkpoint(payload: Dict[str, Any]) -> Dict[str, Any]:
+    """This framework's model-only checkpoint → the reference's
+    ``{model_state_dict, config}`` schema, loadable STRICTLY by the
+    reference ``DDPM`` class (`/root/reference/models/base_model.py:135-150`).
+
+    The state_dict carries ``model.``-prefixed UNet weights plus the
+    ``betas/alphas/alphas_cumprod`` schedule buffers recomputed from the
+    config (the reference registers exactly these,
+    `/root/reference/models/ddpm.py:176-178`; loading overwrites its
+    linspace init, so non-linear schedules trained here keep their true ᾱ
+    even inside the reference). The emitted config uses the reference's
+    canonical spellings."""
+    cfg = dict(payload.get("config", {}) or {})
+    num_t = int(cfg.get("num_timesteps", cfg.get("time_steps", 1000)))
+    beta_start = float(cfg.get("beta_start", 1e-4))
+    beta_end = float(cfg.get("beta_end", 2e-2))
+    from .schedules import make_noise_schedule
+    sched = make_noise_schedule(beta_start, beta_end, num_t,
+                                cfg.get("schedule_type", "linear"))
+    sd: Dict[str, np.ndarray] = {
+        "betas": np.asarray(sched.betas, np.float32),
+        "alphas": np.asarray(1.0 - np.asarray(sched.betas), np.float32),
+        "alphas_cumprod": np.asarray(sched.alphas_cumprod, np.float32),
+    }
+    for k, v in export_ddpm_unet_params(
+            payload["model_state_dict"]).items():
+        sd[f"model.{k}"] = v
+    ref_cfg = {
+        "num_timesteps": num_t, "beta_start": beta_start,
+        "beta_end": beta_end,
+        "in_channels": int(cfg.get("in_channels",
+                                   cfg.get("image_channels", 3))),
+        "model_channels": int(cfg.get("model_channels",
+                                      cfg.get("hidden_channels", 128))),
+        "image_size": int(cfg.get("image_size", 32)),
+        "loss_type": cfg.get("loss_type", "mse"),
+        "loss_config": cfg.get("loss_config", {}),
+    }
+    return {"model_state_dict": sd, "config": ref_cfg}
+
+
 def convert_ddpm_checkpoint(ckpt: Dict[str, Any]) -> Dict[str, Any]:
     """Full reference checkpoint → this framework's model-only payload.
 

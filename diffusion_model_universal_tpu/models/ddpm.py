@@ -26,8 +26,9 @@ import jax.numpy as jnp
 
 from ..utils.losses import DiffusionLoss
 from .base import Array, BaseDiffusionModel, Params
-from .schedules import (ddpm_posterior_step, make_dpm_solver_params,
-                        make_noise_schedule, q_sample)
+from .schedules import (_PREDICTION_TYPES, ddpm_posterior_step,
+                        make_dpm_solver_params, make_noise_schedule,
+                        prediction_target, prediction_to_eps, q_sample)
 from .unet import UNet
 
 
@@ -49,6 +50,15 @@ class DDPM(BaseDiffusionModel):
         self.schedule = make_noise_schedule(
             self.beta_start, self.beta_end, self.num_timesteps,
             cfg.get("schedule_type", "linear"))
+        # Output parameterization (superset — the reference is ε-only,
+        # `models/ddpm.py:207-235`): what the UNet's raw output means.
+        # All samplers consume ε̂ via eps_fn, which converts; the loss
+        # targets the matching quantity (schedules.prediction_target).
+        self.prediction_type = cfg.get("prediction_type", "epsilon")
+        if self.prediction_type not in _PREDICTION_TYPES:
+            raise ValueError(
+                f"model_config.prediction_type must be one of "
+                f"{_PREDICTION_TYPES}, got {self.prediction_type!r}")
 
         in_ch = cfg.get("in_channels", 3)
         # Class-conditional + classifier-free guidance (superset — the
@@ -75,7 +85,9 @@ class DDPM(BaseDiffusionModel):
             loss_type=cfg.get("loss_type", "mse"),
             loss_config=cfg.get("loss_config", {}),
             num_timesteps=self.num_timesteps,
-            alphas_cumprod=self.schedule.alphas_cumprod)
+            alphas_cumprod=self.schedule.alphas_cumprod,
+            # min_snr weighting adapts its divisor to the parameterization
+            prediction_type=self.prediction_type)
 
     # -- core pure functions ---------------------------------------------
     def init_params(self, rng: Array) -> Params:
@@ -116,7 +128,13 @@ class DDPM(BaseDiffusionModel):
             drop = jax.random.bernoulli(ky, self.cfg_drop_prob, (b,))
             y = jnp.where(drop, self.num_classes, y)
         pred = self.apply(params, noisy_x, t, train=True, rng=kd, y=y)
-        return self.loss_fn(pred, noise, t)
+        # Target matches the configured parameterization (ε by default;
+        # v / x₀ are supersets). The optional SNR time-weighting in
+        # DiffusionLoss is defined on the ε-MSE and is applied unchanged
+        # to other targets — use loss_config.weighting accordingly.
+        target = prediction_target(self.schedule, x, noise, t,
+                                   self.prediction_type)
+        return self.loss_fn(pred, target, t)
 
     def make_class_labels(self, class_id: int, batch_size: int) -> Array:
         """Validate ``class_id`` and build a [batch_size] label array.
@@ -138,25 +156,37 @@ class DDPM(BaseDiffusionModel):
                guidance_scale: float = 1.0):
         """Build ``eps(x, t_b)`` — plain, conditional, or CFG-guided
         (ε_u + s·(ε_c − ε_u), Ho & Salimans 2022). Misuse raises rather
-        than silently returning wrong-mode samples."""
+        than silently returning wrong-mode samples.
+
+        Non-ε parameterizations are converted here (prediction_to_eps),
+        so every sampler sees ε̂ regardless of prediction_type. For CFG
+        the guidance is applied to raw outputs and converted once — the
+        conversions are affine in the output with a shared x-dependent
+        offset, so this equals ε-space guidance exactly."""
         if y is not None and self.num_classes <= 0:
             raise ValueError(
                 "labels passed to an unconditional model "
                 "(model_config.num_classes == 0)")
+
+        def to_eps(out, x, t_b):
+            return prediction_to_eps(self.schedule, out, x, t_b,
+                                     self.prediction_type)
+
         if y is None:
             if guidance_scale != 1.0:
                 raise ValueError(
                     "guidance_scale requires labels (CFG needs a class "
                     "to guide towards)")
-            return lambda x, t_b: self.apply(params, x, t_b)
+            return lambda x, t_b: to_eps(self.apply(params, x, t_b), x, t_b)
         if guidance_scale == 1.0:
-            return lambda x, t_b: self.apply(params, x, t_b, y=y)
+            return lambda x, t_b: to_eps(self.apply(params, x, t_b, y=y),
+                                         x, t_b)
 
         def guided(x, t_b):
             y_null = jnp.full_like(y, self.num_classes)
-            e_c = self.apply(params, x, t_b, y=y)
-            e_u = self.apply(params, x, t_b, y=y_null)
-            return e_u + guidance_scale * (e_c - e_u)
+            o_c = self.apply(params, x, t_b, y=y)
+            o_u = self.apply(params, x, t_b, y=y_null)
+            return to_eps(o_u + guidance_scale * (o_c - o_u), x, t_b)
 
         return guided
 
@@ -269,6 +299,56 @@ class DDPM(BaseDiffusionModel):
             body, (x, jnp.zeros_like(x), jnp.asarray(0.0)),
             jnp.arange(1, num_steps))
         return x
+
+    @functools.partial(jax.jit, static_argnames=("self", "guidance_scale"))
+    def generate_samples_inpaint(self, params: Params, rng: Array,
+                                 image: Array, mask: Array,
+                                 labels: Optional[Array] = None,
+                                 guidance_scale: float = 1.0) -> Array:
+        """Inpainting: regenerate the masked-out region of ``image``
+        conditioned on the known pixels (superset — the reference has no
+        conditional generation at all).
+
+        RePaint's replacement method (Lugmayr et al. 2022, arXiv:2201.09865
+        §3, without the resampling schedule): at every reverse step the
+        known region is overwritten with the forward-diffused conditioning
+        image at the new noise level, so the denoiser always sees known
+        pixels at the correct noise scale and harmonizes the unknown
+        region against them. One `lax.scan`, same cost as the ancestral
+        sampler.
+
+        Args:
+            image: [B,H,W,C] conditioning images in the model's data range.
+            mask: broadcastable to image; 1.0 = known (kept), 0.0 = to
+                generate. Soft values blend.
+            labels / guidance_scale: optional CFG conditioning, as in
+                :meth:`generate_samples_cfg`.
+        """
+        b = image.shape[0]
+        k_loop, x = self._init_noise(rng, b)
+        eps_fn = self.eps_fn(params, labels, guidance_scale)
+        mask = jnp.broadcast_to(mask, image.shape).astype(image.dtype)
+
+        def body(carry, t_scalar):
+            x, key = carry
+            key, k_eps, k_q = jax.random.split(key, 3)
+            t_b = jnp.full((b,), t_scalar, jnp.int32)
+            eps_pred = eps_fn(x, t_b)
+            noise = jax.random.normal(k_eps, x.shape, x.dtype)
+            x = ddpm_posterior_step(self.schedule, x, t_b, eps_pred, noise)
+            # Known region at the level the chain has just reached (t−1;
+            # q_sample at t=0 is ≈ the clean image, √ᾱ₀ ≈ 1).
+            t_prev = jnp.maximum(t_b - 1, 0)
+            known = q_sample(self.schedule, image, t_prev,
+                             jax.random.normal(k_q, x.shape, x.dtype))
+            x = mask * known + (1.0 - mask) * x
+            return (x, key), None
+
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+        (x, _), _ = jax.lax.scan(body, (x, k_loop), ts)
+        # Exact known pixels in the output (the last projection used t=0's
+        # still-slightly-noised q-sample).
+        return mask * image + (1.0 - mask) * x
 
     def generate_samples_with_intermediates(
             self, params: Params, rng: Array, batch_size: int,

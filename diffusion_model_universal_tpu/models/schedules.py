@@ -121,6 +121,60 @@ def q_sample(schedule: NoiseSchedule, x0: jnp.ndarray, t: jnp.ndarray,
             + _bcast(schedule.sqrt_one_minus_alphas_cumprod, t) * noise)
 
 
+_PREDICTION_TYPES = ("epsilon", "v", "x0")
+
+
+def prediction_to_eps(schedule: NoiseSchedule, pred: jnp.ndarray,
+                      x_t: jnp.ndarray, t: jnp.ndarray,
+                      prediction_type: str) -> jnp.ndarray:
+    """Convert a network output in any supported parameterization to ε̂.
+
+    The reference trains ε-prediction only (`models/ddpm.py:207-235`);
+    ``v`` (Salimans & Ho 2022, arXiv:2202.00512) and ``x0`` are superset
+    parameterizations. All relations follow from x_t = √ᾱ·x₀ + √(1−ᾱ)·ε
+    and v = √ᾱ·ε − √(1−ᾱ)·x₀:
+
+    * epsilon: ε̂ = out
+    * v:       ε̂ = √ᾱ_t·out + √(1−ᾱ_t)·x_t
+    * x0:      ε̂ = (x_t − √ᾱ_t·out) / √(1−ᾱ_t)
+
+    Every conversion is affine in ``out`` with an x_t-dependent offset
+    that cancels in CFG differences, so guiding raw outputs and then
+    converting once equals ε-space classifier-free guidance exactly.
+    """
+    if prediction_type == "epsilon":
+        return pred
+    a = _bcast(schedule.sqrt_alphas_cumprod, t)
+    s = _bcast(schedule.sqrt_one_minus_alphas_cumprod, t)
+    if prediction_type == "v":
+        return a * pred + s * x_t
+    if prediction_type == "x0":
+        return (x_t - a * pred) / s
+    raise ValueError(f"prediction_type must be one of {_PREDICTION_TYPES}, "
+                     f"got {prediction_type!r}")
+
+
+def prediction_target(schedule: NoiseSchedule, x0: jnp.ndarray,
+                      noise: jnp.ndarray, t: jnp.ndarray,
+                      prediction_type: str) -> jnp.ndarray:
+    """Training target for a given parameterization at q-sampled (x₀, ε, t).
+
+    Inverse of :func:`prediction_to_eps` at x_t = q_sample(x₀, t, ε):
+    feeding the returned target back through ``prediction_to_eps``
+    reconstructs ε exactly (pinned in ``tests/test_schedules.py``).
+    """
+    if prediction_type == "epsilon":
+        return noise
+    if prediction_type == "x0":
+        return x0
+    if prediction_type == "v":
+        a = _bcast(schedule.sqrt_alphas_cumprod, t)
+        s = _bcast(schedule.sqrt_one_minus_alphas_cumprod, t)
+        return a * noise - s * x0
+    raise ValueError(f"prediction_type must be one of {_PREDICTION_TYPES}, "
+                     f"got {prediction_type!r}")
+
+
 def ddpm_posterior_step(schedule: NoiseSchedule, x: jnp.ndarray,
                         t: jnp.ndarray, eps_pred: jnp.ndarray,
                         noise: jnp.ndarray) -> jnp.ndarray:

@@ -146,6 +146,26 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def mesh_replicated(mesh: Optional[Mesh], tree: Any) -> Any:
+    """Place every leaf of ``tree`` replicated on the (process-local)
+    mesh — the required input placement for :func:`sampling_scope`.
+
+    A jit launched under the sampling mesh with inputs still committed
+    to one device (a PRNGKey or params created OUTSIDE the scope) makes
+    GSPMD choose partial output shardings (e.g. a [2,1,1,1,4] tile for a
+    batch-2 image over an 8-way data axis) that JAX cannot map back to
+    NamedShardings — a compile-time ``ValueError`` whenever the batch
+    does not divide the data axis. Replicating the inputs up front keeps
+    every sharding mesh-formed; for already-placed leaves device_put is
+    a no-op. Mirrors :func:`sampling_scope`'s local-submesh rule.
+    """
+    if mesh is not None and jax.process_count() > 1:
+        mesh = mesh.local_mesh
+    if mesh is None or mesh.size <= 1:
+        return tree
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
 def param_sharding(mesh: Mesh, params: Any,
                    min_size_to_shard: int = 2 ** 16) -> Any:
     """FSDP-style parameter sharding tree.

@@ -55,7 +55,48 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(1.0 = plain conditional)")
     p.add_argument("--grid_only", action="store_true",
                    help="Skip per-sample PNGs, save only the grid")
+    p.add_argument("--inpaint_image", type=str, default=None,
+                   help=".npy conditioning image(s), [H,W,C] or [B,H,W,C] "
+                        "in the model's data range ([-1,1]); regenerates "
+                        "the region where --inpaint_mask is 0 "
+                        "(ddpm/ddim models, ancestral sampler)")
+    p.add_argument("--inpaint_mask", type=str, default=None,
+                   help=".npy mask broadcastable to the image; 1 = keep, "
+                        "0 = generate (required with --inpaint_image)")
     return p
+
+
+def _load_inpaint_inputs(args, model):
+    """Load/validate --inpaint_image/--inpaint_mask into [N,H,W,C] arrays."""
+    import numpy as np
+    if args.inpaint_mask is None:
+        raise SystemExit("--inpaint_image requires --inpaint_mask")
+    if args.sampler != "default":
+        raise SystemExit("--inpaint_image uses the ancestral sampler; "
+                         "drop --sampler")
+    image = np.load(args.inpaint_image).astype(np.float32)
+    mask = np.load(args.inpaint_mask).astype(np.float32)
+    if image.ndim == 3:
+        image = image[None]
+    want = model.sample_shape(1)[1:]
+    if image.shape[1:] != tuple(want):
+        raise SystemExit(f"--inpaint_image shape {image.shape[1:]} != "
+                         f"model sample shape {tuple(want)}")
+    if image.shape[0] == 1 and args.num_samples > 1:
+        image = np.tile(image, (args.num_samples, 1, 1, 1))
+    if image.shape[0] != args.num_samples:
+        raise SystemExit(f"--inpaint_image batch {image.shape[0]} != "
+                         f"--num_samples {args.num_samples}")
+    if mask.ndim == 2:
+        mask = mask[None, :, :, None]
+    elif mask.ndim == 3:
+        mask = mask[None]
+    try:
+        np.broadcast_shapes(mask.shape, image.shape)
+    except ValueError:
+        raise SystemExit(f"--inpaint_mask shape {mask.shape} does not "
+                         f"broadcast to image shape {image.shape}")
+    return image, mask
 
 
 def load_params(model, path: str, use_ema: bool):
@@ -110,8 +151,26 @@ def main(argv=None) -> int:
                                              args.num_samples)
         except ValueError as e:
             raise SystemExit(f"--class_id: {e}")
-    with sampling_scope(make_mesh(devices)):
-        if args.sampler == "dpm++":
+    inpaint = None
+    if args.inpaint_image is not None:
+        if not hasattr(model, "generate_samples_inpaint"):
+            raise SystemExit(f"--inpaint_image unsupported for "
+                             f"{args.model_type} models (ddpm/ddim only)")
+        inpaint = _load_inpaint_inputs(args, model)
+    from ..parallel.mesh import mesh_replicated
+    mesh = make_mesh(devices)
+    # Mesh-form ALL jit inputs: single-device-committed inputs under the
+    # sampling mesh make GSPMD pick unrecoverable partial shardings
+    # whenever num_samples doesn't divide the data axis (mesh_replicated).
+    params, key, labels = mesh_replicated(mesh, (params, key, labels))
+    with sampling_scope(mesh):
+        if inpaint is not None:
+            image, mask = mesh_replicated(mesh, inpaint)
+            samples = np.asarray(model.generate_samples_inpaint(
+                params, key, image, mask, labels=labels,
+                guidance_scale=args.guidance_scale if labels is not None
+                else 1.0))
+        elif args.sampler == "dpm++":
             if not hasattr(model, "generate_samples_dpm"):
                 raise SystemExit(
                     f"--sampler dpm++ needs an ε-prediction model "

@@ -68,8 +68,12 @@ class SamplerService:
     """
 
     def __init__(self, model, params, serve_batch: int, mesh):
+        from ..parallel.mesh import mesh_replicated
         self.model = model
-        self.params = params
+        # Mesh-form the params once (parallel.mesh.mesh_replicated — a
+        # single-device-committed tree under the sampling mesh can make
+        # GSPMD pick unrecoverable partial output shardings).
+        self.params = mesh_replicated(mesh, params)
         self.serve_batch = serve_batch
         self.mesh = mesh
         self.requests = 0
@@ -90,13 +94,13 @@ class SamplerService:
         import jax
         import numpy as np
 
-        from ..parallel.mesh import sampling_scope
+        from ..parallel.mesh import mesh_replicated, sampling_scope
 
         if not 1 <= num_samples <= self.serve_batch:
             raise ValueError(
                 f"num_samples must be in [1, {self.serve_batch}] "
                 f"(got {num_samples}); raise --serve_batch to serve more")
-        key = jax.random.PRNGKey(seed)
+        key = mesh_replicated(self.mesh, jax.random.PRNGKey(seed))
         with sampling_scope(self.mesh):
             if class_id is not None:
                 if not hasattr(self.model, "make_class_labels"):

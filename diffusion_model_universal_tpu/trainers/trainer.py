@@ -44,8 +44,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.base import BaseDiffusionModel
 from ..parallel.mesh import (activation_sharding_scope, batch_sharding,
-                             is_main_process, make_mesh, param_sharding,
-                             sampling_scope, uses_activation_sharding)
+                             is_main_process, make_mesh, mesh_replicated,
+                             param_sharding, sampling_scope,
+                             uses_activation_sharding)
 from ..utils.checkpoint import CheckpointManager
 from ..utils.images import frames_to_grid, save_image
 from ..utils.logging_utils import MetricLogger
@@ -839,7 +840,12 @@ class DiffusionTrainer:
         if not self.is_main:
             return None
         params = self.state.ema_params if use_ema else self.state.params
-        key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 99), epoch)
+        # Mesh-form the key (params already are): a single-device key under
+        # the sampling mesh can make GSPMD pick unrecoverable partial
+        # shardings when num_samples doesn't divide the data axis.
+        key = mesh_replicated(
+            self.mesh,
+            jax.random.fold_in(jax.random.PRNGKey(self.seed + 99), epoch))
         with sampling_scope(self.mesh):
             frames = self.model.generate_samples_with_intermediates(
                 params, key, num_samples)

@@ -304,13 +304,16 @@ class DiffusionBenchmark:
                 "pairing='unpaired' for score/energy families")
         from ..models.schedules import q_sample
         t_val = max(int(model.num_timesteps * self.recon_t_frac), 1)
+        # eps_fn converts non-ε parameterizations (prediction_type v/x0)
+        # to ε̂, so reconstruction works for every DDPM-family model.
+        eps_fn = model.eps_fn(params)
 
         @jax.jit
         def reconstruct(x, key):
             t = jnp.full((x.shape[0],), t_val, jnp.int32)
             noise = jax.random.normal(key, x.shape, x.dtype)
             xt = q_sample(model.schedule, x, t, noise)
-            eps = model.apply(params, xt, t)
+            eps = eps_fn(xt, t)
             ac = model.schedule.alphas_cumprod[t_val]
             x0 = (xt - jnp.sqrt(1.0 - ac) * eps) / jnp.sqrt(ac)
             return jnp.clip(x0, -1.0, 1.0)
@@ -346,7 +349,13 @@ class DiffusionBenchmark:
         real_feats = np.concatenate(real_feats) if real_feats else None
 
         fake_feats, fake_logits = [], []
-        key = jax.random.PRNGKey(self.seed)
+        # Mesh-form the sampler's jit inputs: the ragged tail batch
+        # (bs = min(batch_size, remaining)) may not divide the data axis,
+        # where single-device-committed inputs make GSPMD pick
+        # unrecoverable partial shardings (parallel.mesh.mesh_replicated).
+        from ..parallel.mesh import mesh_replicated
+        params = mesh_replicated(self.mesh, params)
+        key = mesh_replicated(self.mesh, jax.random.PRNGKey(self.seed))
         remaining = self.n_samples
         i = 0
         while remaining > 0:

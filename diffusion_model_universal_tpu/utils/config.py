@@ -43,7 +43,7 @@ _KNOWN_MODEL_KEYS = {
     "hidden_channels", "compute_dtype", "use_pallas", "mcmc_steps_per_iter",
     "schedule_type", "remat", "num_classes", "cfg_drop_prob",
     "conv_bias", "final_denoise", "dsm_weighting",
-    "score_parameterization", "training_objective",
+    "score_parameterization", "training_objective", "prediction_type",
 }
 
 

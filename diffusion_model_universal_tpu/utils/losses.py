@@ -62,6 +62,33 @@ def _snr_weights(t: Array, num_timesteps: int,
     return jnp.clip(weights, 1e-5, None)
 
 
+def _min_snr_weights(t: Array, num_timesteps: int,
+                     alphas_cumprod: Optional[Array],
+                     gamma: float, prediction_type: str,
+                     beta_start: float = 1e-4,
+                     beta_end: float = 2e-2) -> Array:
+    """Min-SNR-γ weights (Hang et al. 2023, arXiv:2303.09556) — superset
+    of the reference's weighting options.
+
+    The paper defines the weight min(SNR_t, γ) on the x₀-MSE; because
+    ‖ε̂−ε‖² = SNR·‖x̂₀−x₀‖² and ‖v̂−v‖² = (SNR+1)·‖x̂₀−x₀‖², the weight is
+    divided by SNR (ε-prediction) or SNR+1 (v-prediction) so the EFFECTIVE
+    x₀-space weighting matches the paper regardless of parameterization.
+    These are absolute weights — no affine [min,max] rescale (that rescale
+    is a reference quirk of the snr/linear/inverse types).
+    """
+    if alphas_cumprod is None:
+        betas = jnp.linspace(beta_start, beta_end, num_timesteps)
+        alphas_cumprod = jnp.cumprod(1.0 - betas)
+    snr_t = jnp.take(alphas_cumprod / (1.0 - alphas_cumprod), t)
+    w_x0 = jnp.minimum(snr_t, gamma)
+    if prediction_type == "epsilon":
+        return w_x0 / snr_t            # = min(1, γ/SNR)
+    if prediction_type == "v":
+        return w_x0 / (snr_t + 1.0)
+    return w_x0                        # x0-prediction: the paper's form
+
+
 class DiffusionLoss:
     """Config-driven diffusion training loss (reference `utils/losses.py:8-181`).
 
@@ -84,7 +111,8 @@ class DiffusionLoss:
     def __init__(self, loss_type: str = "mse",
                  loss_config: Optional[Dict] = None,
                  num_timesteps: int = 1000,
-                 alphas_cumprod: Optional[Array] = None):
+                 alphas_cumprod: Optional[Array] = None,
+                 prediction_type: str = "epsilon"):
         self.loss_type = loss_type.lower()
         cfg = loss_config or {}
         if self.loss_type not in self.LOSS_TYPES:
@@ -114,8 +142,10 @@ class DiffusionLoss:
         twp = cfg.get("time_weight_params", {}) or {}
         self.min_weight = twp.get("min_weight", 0.1)
         self.max_weight = twp.get("max_weight", 1.0)
+        self.min_snr_gamma = twp.get("gamma", 5.0)
         self.num_timesteps = num_timesteps
         self.alphas_cumprod = alphas_cumprod
+        self.prediction_type = prediction_type
 
         self.perceptual_weight = cfg.get("perceptual_weight", 0.0)
         self._perceptual: Optional[Callable] = None
@@ -145,6 +175,12 @@ class DiffusionLoss:
         """Per-sample weights rescaled to [min_weight, max_weight]
         (reference `utils/losses.py:133-181`), shaped [B, 1, 1, 1]."""
         tf = t.astype(jnp.float32)
+        if self.time_weight_type == "min_snr":
+            # Absolute weights (see _min_snr_weights) — the affine
+            # [min_weight, max_weight] rescale below does not apply.
+            w = _min_snr_weights(t, self.num_timesteps, self.alphas_cumprod,
+                                 self.min_snr_gamma, self.prediction_type)
+            return w[:, None, None, None]
         if self.time_weight_type == "snr":
             w = _snr_weights(t, self.num_timesteps, self.alphas_cumprod)
         elif self.time_weight_type == "linear":

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     if len(sys.argv) != 4 or sys.argv[1] not in ("inception", "vgg16",
-                                                 "ddpm"):
+                                                 "ddpm", "export_ddpm"):
         print(__doc__)
         print("\nAlso: python scripts/convert_weights.py ddpm "
               "<reference .pt checkpoint> <out .ckpt>\n"
@@ -42,9 +42,34 @@ def main() -> None:
               "    DDPM.load_with_config(out) or generate.py "
               "--checkpoint <out .ckpt>\n"
               "  (the emitted config sets conv_bias: true — the reference "
-              "parameterization).")
+              "parameterization).\n\n"
+              "And the inverse: python scripts/convert_weights.py "
+              "export_ddpm <our .ckpt> <out .pt>\n"
+              "  Exports a model trained HERE back to the reference's "
+              "{model_state_dict, config}\n  torch schema (strict-loadable "
+              "by the reference DDPM class; missing conv biases\n"
+              "  export as zeros — functionally identical under the "
+              "following GroupNorms).")
         sys.exit(1)
     kind, src, dst = sys.argv[1:4]
+
+    if kind == "export_ddpm":
+        import pickle
+
+        import torch
+
+        from diffusion_model_universal_tpu.models.convert import (
+            export_ddpm_checkpoint)
+        with open(src, "rb") as f:
+            payload = pickle.load(f)
+        out = export_ddpm_checkpoint(payload)
+        out["model_state_dict"] = {
+            k: torch.from_numpy(v.copy())
+            for k, v in out["model_state_dict"].items()}
+        torch.save(out, dst)
+        print(f"exported {len(out['model_state_dict'])} tensors")
+        print(f"wrote {dst}")
+        return
 
     import torch
     state_dict = torch.load(src, map_location="cpu", weights_only=True)

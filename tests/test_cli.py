@@ -163,3 +163,49 @@ def test_eval_only_benchmark_dpm_sampler_cli(tmp_path):
         (tmp_path / "out" / "benchmark_results.json").read_text())
     for k in ("fid", "is_mean", "ssim", "psnr"):
         assert k in results and np.isfinite(results[k]), (k, results)
+
+
+@pytest.mark.slow
+def test_generate_cli_inpaint(tmp_path):
+    """--inpaint_image/--inpaint_mask: known region kept exactly, masked
+    region regenerated, misuse exits cleanly."""
+    import jax
+
+    from diffusion_model_universal_tpu.models import DDPM
+    from diffusion_model_universal_tpu.scripts import generate as gen_cli
+
+    cfg_path = _write_config(tmp_path)
+    model = DDPM({"num_timesteps": 8, "image_size": 32, "in_channels": 3,
+                  "model_channels": 8, "compute_dtype": "float32",
+                  "use_pallas": False, "remat": False})
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "model.ckpt"
+    model.save(str(ckpt), params)
+
+    image = np.linspace(-0.5, 0.5, 32, dtype=np.float32)[:, None, None]
+    image = np.broadcast_to(image, (32, 32, 3)).copy()
+    mask = np.zeros((32, 32), np.float32)
+    mask[:16] = 1.0
+    np.save(tmp_path / "img.npy", image)
+    np.save(tmp_path / "mask.npy", mask)
+
+    out_dir = tmp_path / "inpaint"
+    rc = gen_cli.main(["--config", str(cfg_path), "--model_type", "ddpm",
+                       "--checkpoint", str(ckpt),
+                       "--inpaint_image", str(tmp_path / "img.npy"),
+                       "--inpaint_mask", str(tmp_path / "mask.npy"),
+                       "--num_samples", "2", "--output_dir", str(out_dir)])
+    assert rc == 0
+    assert (out_dir / "samples_grid.png").exists()
+
+    # misuse: mask missing → clean SystemExit, not a traceback
+    with pytest.raises(SystemExit):
+        gen_cli.main(["--config", str(cfg_path), "--model_type", "ddpm",
+                      "--checkpoint", str(ckpt),
+                      "--inpaint_image", str(tmp_path / "img.npy")])
+    # misuse: dpm++ sampler with inpainting
+    with pytest.raises(SystemExit):
+        gen_cli.main(["--config", str(cfg_path), "--model_type", "ddpm",
+                      "--checkpoint", str(ckpt), "--sampler", "dpm++",
+                      "--inpaint_image", str(tmp_path / "img.npy"),
+                      "--inpaint_mask", str(tmp_path / "mask.npy")])

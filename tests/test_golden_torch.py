@@ -164,6 +164,78 @@ def test_full_unet_golden_parity_and_import():
         np.testing.assert_array_equal(a, b)
 
 
+def test_export_ddpm_roundtrip_and_strict_torch_load():
+    """Inverse converter (`models/convert.py::export_ddpm_unet_params`):
+    (a) export∘import is the identity on a real reference state_dict,
+    (b) a model trained HERE (default conv_bias=False) exports to a
+    state_dict the reference UNet strict-loads, with zero conv biases,
+    and the torch forward matches our forward on shared weights."""
+    import torch as _torch
+
+    from diffusion_model_universal_tpu.models.convert import (
+        convert_ddpm_unet_state_dict, export_ddpm_checkpoint,
+        export_ddpm_unet_params)
+    from diffusion_model_universal_tpu.models.unet import UNet
+
+    C, B = 32, 2
+    RefUNet = _load_reference_unet()
+    _torch.manual_seed(0)
+    ref = RefUNet(in_channels=3, model_channels=C, out_channels=3)
+    ref.eval()
+    with _torch.no_grad():
+        for p in ref.parameters():
+            p.add_(_torch.randn_like(p) * 0.05)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    # (a) export(import(sd)) == sd, key for key, bit for bit
+    sd2 = export_ddpm_unet_params(convert_ddpm_unet_state_dict(sd))
+    assert set(sd2) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(sd2[k], sd[k], err_msg=k)
+
+    # (b) bias-free flax model → strict torch load + forward parity
+    ours = UNet(in_channels=3, model_channels=C, out_channels=3,
+                dtype=jnp.float32, remat=False, conv_bias=False)
+    params = ours.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)),
+                       jnp.zeros((1,), jnp.int32))["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: np.asarray(p) + 0.05 * np.random.default_rng(0).normal(
+            size=p.shape).astype(np.float32), params)
+    exported = export_ddpm_unet_params(params)
+    missing, unexpected = ref.load_state_dict(
+        {k: _torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in exported.items()}, strict=True)
+    assert not missing and not unexpected
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(B, 32, 32, 3)).astype(np.float32)
+    ts = [3, 57]
+    out_ours = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(ts, jnp.int32)))
+    with _torch.no_grad():
+        out_ref = ref(_t(x), _torch.tensor(ts, dtype=_torch.float32))
+    np.testing.assert_allclose(
+        out_ours, out_ref.numpy().transpose(0, 2, 3, 1),
+        atol=1e-3, rtol=1e-3)
+
+    # Checkpoint-level export: reference schema + schedule buffers
+    payload = {"model_state_dict": params,
+               "config": {"num_timesteps": 16, "beta_start": 1e-4,
+                          "beta_end": 2e-2, "in_channels": 3,
+                          "model_channels": C, "image_size": 32}}
+    out = export_ddpm_checkpoint(payload)
+    esd = out["model_state_dict"]
+    np.testing.assert_allclose(
+        esd["betas"], np.linspace(1e-4, 2e-2, 16, dtype=np.float32),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        esd["alphas_cumprod"], np.cumprod(1.0 - esd["betas"]), rtol=1e-5)
+    assert all(k.startswith("model.") for k in esd
+               if k not in ("betas", "alphas", "alphas_cumprod"))
+    assert out["config"]["num_timesteps"] == 16
+    assert out["config"]["model_channels"] == C
+
+
 def test_sinusoidal_embedding_matches_torch_reference_math():
     """Reference formula (`models/layers/embeddings.py:24-39`):
     emb = [sin(t·ω), cos(t·ω)], ω = exp(−ln(10000)·i/(d/2 − 1))."""

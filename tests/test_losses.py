@@ -180,3 +180,51 @@ def test_score_matching_sigma2_weighting():
                                rtol=1e-5)
     with pytest.raises(ValueError):
         score_matching_loss(score, noise, sigma, weighting="bogus")
+
+
+def test_min_snr_weights_match_paper_formula():
+    """Min-SNR-γ (arXiv:2303.09556): weight on the x₀-MSE is min(SNR, γ);
+    the per-parameterization divisors make the EFFECTIVE x₀-space weight
+    identical across ε / v / x₀ targets."""
+    from diffusion_model_universal_tpu.models.schedules import \
+        make_noise_schedule
+    sched = make_noise_schedule(1e-4, 2e-2, 1000)
+    ac = np.asarray(sched.alphas_cumprod)
+    t = jnp.array([0, 100, 500, 999])
+    snr_t = ac[np.asarray(t)] / (1.0 - ac[np.asarray(t)])
+    gamma = 5.0
+    want_x0 = np.minimum(snr_t, gamma)
+    got = {
+        p: np.asarray(L._min_snr_weights(t, 1000, sched.alphas_cumprod,
+                                         gamma, p))
+        for p in ("epsilon", "v", "x0")
+    }
+    np.testing.assert_allclose(got["x0"], want_x0, rtol=1e-5)
+    np.testing.assert_allclose(got["epsilon"], want_x0 / snr_t, rtol=1e-5)
+    np.testing.assert_allclose(got["v"], want_x0 / (snr_t + 1.0), rtol=1e-5)
+    # ε-weight saturates at exactly 1 once SNR ≤ γ (high-noise steps).
+    assert got["epsilon"][-1] == pytest.approx(1.0)
+    assert got["epsilon"][0] < 1e-2  # t=0 has SNR ≈ 1e4 ≫ γ
+
+
+def test_min_snr_loss_path_no_rescale():
+    """time_weight_type=min_snr must use absolute weights (no affine
+    [min_weight, max_weight] rescale) and produce a finite scalar."""
+    from diffusion_model_universal_tpu.models.schedules import \
+        make_noise_schedule
+    sched = make_noise_schedule(1e-4, 2e-2, 100)
+    loss = L.DiffusionLoss(
+        "mse",
+        {"time_weight_type": "min_snr",
+         "time_weight_params": {"gamma": 5.0,
+                                # would distort weights if (wrongly) applied
+                                "min_weight": 0.0, "max_weight": 100.0}},
+        num_timesteps=100, alphas_cumprod=sched.alphas_cumprod)
+    t = jnp.array([0, 99])
+    w = np.asarray(loss.time_weights(t)).ravel()
+    snr = np.asarray(sched.alphas_cumprod) / (1 - np.asarray(sched.alphas_cumprod))
+    np.testing.assert_allclose(w, np.minimum(snr[[0, 99]], 5.0) / snr[[0, 99]],
+                               rtol=1e-5)
+    pred = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 3))
+    val = loss(pred, jnp.zeros_like(pred), t)
+    assert np.isfinite(float(val))

@@ -345,3 +345,84 @@ def test_score_sigma_parameterization():
     assert np.isfinite(float(loss))
     with pytest.raises(ValueError, match="score_parameterization"):
         ScoreBasedDiffusion(dict(base, score_parameterization="bogus"))
+
+
+# -- prediction_type parameterizations (superset: ε / v / x0) -------------
+
+class _PTypeAnalyticDDPM(DDPM):
+    """DDPM whose 'network' is the SAME analytic ε-model expressed in the
+    configured parameterization — if eps_fn's conversions are right, every
+    sampler must produce bit-identical trajectories across types."""
+
+    def apply(self, params, x, t, train=False, rng=None, y=None):
+        tb = t.astype(x.dtype)[:, None, None, None]
+        eps = 0.3 * x + 0.01 * (tb + 1.0)
+        if y is not None:
+            eps = eps + 0.02 * y.astype(x.dtype)[:, None, None, None]
+        if self.prediction_type == "epsilon":
+            return eps
+        ac = jnp.take(self.schedule.alphas_cumprod, t)[:, None, None, None]
+        a, s = jnp.sqrt(ac), jnp.sqrt(1.0 - ac)
+        if self.prediction_type == "v":
+            return (eps - s * x) / a
+        return (x - s * eps) / a  # x0
+
+
+@pytest.mark.parametrize("sampler", ["ancestral", "ddim", "dpm", "cfg"])
+def test_samplers_invariant_to_prediction_type(sampler):
+    rng = jax.random.PRNGKey(3)
+    outs = {}
+    for ptype in ("epsilon", "v", "x0"):
+        cfg = dict(TINY, prediction_type=ptype, num_classes=4,
+                   ddim_sampling_steps=4)
+        model = (_PTypeAnalyticDDPM(cfg) if sampler != "ddim"
+                 else type("A", (_PTypeAnalyticDDPM, DDIM), {})(cfg))
+        if sampler == "ancestral":
+            out = model.generate_samples(params={}, rng=rng, batch_size=2)
+        elif sampler == "ddim":
+            out = DDIM.generate_samples(model, params={}, rng=rng,
+                                        batch_size=2)
+        elif sampler == "dpm":
+            out = model.generate_samples_dpm(params={}, rng=rng,
+                                             batch_size=2, num_steps=4)
+        else:  # cfg-guided ancestral
+            labels = jnp.array([1, 2])
+            out = model.generate_samples_cfg(params={}, rng=rng,
+                                             batch_size=2, labels=labels,
+                                             guidance_scale=2.0)
+        outs[ptype] = np.asarray(out)
+    np.testing.assert_allclose(outs["v"], outs["epsilon"], atol=2e-4)
+    np.testing.assert_allclose(outs["x0"], outs["epsilon"], atol=2e-4)
+
+
+@pytest.mark.parametrize("ptype", ["v", "x0"])
+def test_prediction_type_loss_trains(ptype):
+    model = DDPM(dict(TINY, prediction_type=ptype))
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    loss, grads = jax.value_and_grad(model.loss_function)(
+        params, x, jax.random.PRNGKey(2))
+    assert jnp.isfinite(loss)
+    gnorm = sum(float(jnp.sum(g ** 2))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0.0
+
+
+def test_prediction_type_rejected_on_bad_value():
+    with pytest.raises(ValueError, match="prediction_type"):
+        DDPM(dict(TINY, prediction_type="velocity"))
+
+
+def test_inpaint_keeps_known_region_and_fills_rest():
+    model = _PTypeAnalyticDDPM(dict(TINY))
+    rng = jax.random.PRNGKey(5)
+    image = jnp.tile(jnp.linspace(-0.5, 0.5, 32)[None, :, None, None],
+                     (2, 1, 32, 3))
+    mask = jnp.zeros((1, 32, 32, 1)).at[:, :16].set(1.0)  # top half known
+    out = np.asarray(model.generate_samples_inpaint(
+        params={}, rng=rng, image=image, mask=mask))
+    assert out.shape == image.shape and np.isfinite(out).all()
+    m = np.broadcast_to(np.asarray(mask), out.shape).astype(bool)
+    np.testing.assert_array_equal(out[m], np.asarray(image)[m])
+    # The generated half must NOT be a copy of the conditioning image.
+    assert np.abs(out[~m] - np.asarray(image)[~m]).max() > 0.05

@@ -232,6 +232,36 @@ def test_sampling_scope_distributes_generation():
     np.testing.assert_array_equal(np.asarray(out3), ref)
 
 
+def test_sampling_ragged_batch_with_offmesh_inputs(tmp_path):
+    """Regression: a batch that does NOT divide the data axis, with jit
+    inputs created OUTSIDE the mesh scope (the CLI/serving pattern —
+    params loaded from a checkpoint, key built at argparse time). Without
+    mesh_replicated, GSPMD picks a partial output sharding (e.g. tile
+    [2,1,1,1,4] for batch 2 on an 8-way data axis) that JAX cannot map
+    back to a NamedSharding → compile-time ValueError."""
+    model = DDPM(TINY)
+    model.save(str(tmp_path / "m.ckpt"), model.init_params(
+        jax.random.PRNGKey(0)))
+    params = model.load(str(tmp_path / "m.ckpt"))   # committed off-mesh
+    key = jax.random.PRNGKey(7)                     # committed off-mesh
+    image = np.zeros((2,) + tuple(model.sample_shape(1)[1:]), np.float32)
+    mask = np.zeros((1,) + image.shape[1:3] + (1,), np.float32)
+
+    mesh = M.make_mesh()                            # 8-way DP
+    params, key, image, mask = M.mesh_replicated(
+        mesh, (params, key, image, mask))
+    with M.sampling_scope(mesh):
+        out = model.generate_samples(params, key, 2)
+        out_dpm = model.generate_samples_dpm(params, key, 2, num_steps=4)
+        out_inp = model.generate_samples_inpaint(params, key, image, mask)
+    assert np.asarray(out).shape[0] == 2
+    assert np.asarray(out_dpm).shape[0] == 2
+    assert np.asarray(out_inp).shape[0] == 2
+
+    # mesh=None / size-1 mesh: helper is an exact no-op
+    assert M.mesh_replicated(None, key) is key
+
+
 def test_graft_entry_dryrun():
     """The driver's multi-chip dry run must pass on the CPU mesh."""
     import importlib.util

@@ -135,3 +135,33 @@ def test_schedule_is_pytree():
     x = jnp.ones((1, 2, 2, 1))
     out = f(sched, x, jnp.array([3]), jnp.zeros_like(x))
     assert out.shape == x.shape
+
+
+def test_prediction_target_roundtrips_to_eps():
+    """prediction_to_eps(prediction_target(x0, ε, t), q_sample(x0, t, ε))
+    must reconstruct ε exactly for every parameterization — the algebraic
+    contract all samplers rely on (models/ddpm.py eps_fn)."""
+    sched = S.make_noise_schedule(1e-4, 2e-2, 100)
+    key = jax.random.PRNGKey(0)
+    kx, kn = jax.random.split(key)
+    x0 = jax.random.normal(kx, (4, 8, 8, 3))
+    noise = jax.random.normal(kn, x0.shape)
+    t = jnp.array([0, 3, 50, 99])
+    xt = S.q_sample(sched, x0, t, noise)
+    for ptype in S._PREDICTION_TYPES:
+        target = S.prediction_target(sched, x0, noise, t, ptype)
+        eps = S.prediction_to_eps(sched, target, xt, t, ptype)
+        # x0's back-conversion divides by √(1−ᾱ_t) ≈ 0.01 at t=0, which
+        # amplifies f32 rounding ~100×; 1e-4 absolute covers that.
+        np.testing.assert_allclose(np.asarray(eps), np.asarray(noise),
+                                   atol=1e-4, err_msg=ptype)
+
+
+def test_prediction_type_unknown_raises():
+    sched = S.make_noise_schedule(1e-4, 2e-2, 10)
+    x = jnp.zeros((1, 2, 2, 1))
+    t = jnp.array([0])
+    with pytest.raises(ValueError, match="prediction_type"):
+        S.prediction_to_eps(sched, x, x, t, "velocity")
+    with pytest.raises(ValueError, match="prediction_type"):
+        S.prediction_target(sched, x, x, t, "eps")
