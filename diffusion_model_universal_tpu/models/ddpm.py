@@ -27,8 +27,9 @@ import jax.numpy as jnp
 from ..utils.losses import DiffusionLoss
 from .base import Array, BaseDiffusionModel, Params
 from .schedules import (_PREDICTION_TYPES, ddpm_posterior_step,
-                        make_dpm_solver_params, make_noise_schedule,
-                        prediction_target, prediction_to_eps, q_sample)
+                        make_dpm_solver_params, make_karras_heun_params,
+                        make_noise_schedule, prediction_target,
+                        prediction_to_eps, q_sample)
 from .unet import UNet
 
 
@@ -298,6 +299,56 @@ class DDPM(BaseDiffusionModel):
         (x, _, _), _ = jax.lax.scan(
             body, (x, jnp.zeros_like(x), jnp.asarray(0.0)),
             jnp.arange(1, num_steps))
+        return x
+
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "batch_size", "num_steps",
+                                        "rho", "guidance_scale"))
+    def generate_samples_heun(self, params: Params, rng: Array,
+                              batch_size: int, num_steps: int = 18,
+                              rho: float = 7.0,
+                              labels: Optional[Array] = None,
+                              guidance_scale: float = 1.0) -> Array:
+        """Karras-spaced Heun (EDM) deterministic sampler (Karras et al.
+        2022, arXiv:2206.00364, Alg. 1) — capability superset of the
+        reference, complementing DPM-Solver++(2M): a second-order
+        single-step (predictor-corrector) ODE solver, the reference
+        sampler of the EDM paper. TWO model evals per update
+        (2·(num_steps−1) total) vs DPM++'s one, in exchange for the
+        classic Heun error constant; with Karras ρ-spacing it
+        concentrates steps at low noise where the trajectory curves.
+
+        Math (see schedules.KarrasHeunParams): in x̂ = x/α, σ̂ = σ/α
+        coordinates the probability-flow ODE is dx̂/dσ̂ = ε̂(x, t), so the
+        update is plain Heun on that ODE; ε̂ comes from eps_fn, making
+        the sampler parameterization-agnostic and CFG-capable. No x₀
+        thresholding (EDM convention), unlike the DDIM/DPM++ paths.
+        One `lax.scan`, solver order pinned in
+        tests/test_models.py::test_heun_second_order_convergence.
+        """
+        if not 2 <= num_steps <= self.num_timesteps:
+            raise ValueError(
+                f"num_steps must be in [2, {self.num_timesteps}] (got "
+                f"{num_steps}): 1 step runs no updates (returns raw "
+                "noise); more steps than T duplicates grid points")
+        p = make_karras_heun_params(self.schedule, num_steps, rho)
+        b = batch_size
+        _, x = self._init_noise(rng, b)
+
+        eps_fn = self.eps_fn(params, labels, guidance_scale)
+
+        def body(x, j):
+            t_cur = jnp.full((b,), p.timesteps[j - 1], jnp.int32)
+            t_nxt = jnp.full((b,), p.timesteps[j], jnp.int32)
+            dsig = p.sigma_hat[j] - p.sigma_hat[j - 1]      # < 0
+            d_cur = eps_fn(x, t_cur)
+            x_hat = x / p.alpha[j - 1]
+            x_eul = p.alpha[j] * (x_hat + dsig * d_cur)      # predictor
+            d_nxt = eps_fn(x_eul, t_nxt)
+            x = p.alpha[j] * (x_hat + dsig * 0.5 * (d_cur + d_nxt))
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(1, num_steps))
         return x
 
     @functools.partial(jax.jit, static_argnames=("self", "guidance_scale"))

@@ -308,6 +308,51 @@ def make_dpm_solver_params(schedule: NoiseSchedule,
                            lam=jnp.log(alpha / sigma))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KarrasHeunParams:
+    """Precomputed buffers for the Karras-spaced Heun (EDM) sampler
+    (Karras et al. 2022, arXiv:2206.00364, Alg. 1) on a discrete DDPM
+    schedule — a capability superset of the reference, alongside
+    DPM-Solver++(2M).
+
+    The VP process x_t = α·x₀ + σ·ε is rewritten in the paper's scaled
+    coordinates x̂ = x/α, σ̂ = σ/α, where the probability-flow ODE is
+    exactly dx̂/dσ̂ = ε̂(x, t) (their eq. 1 with s(t) ≡ 1). The σ̂ grid
+    uses the paper's ρ-spacing, then every grid point is SNAPPED to the
+    nearest discrete timestep (in log σ̂) so the model is always
+    evaluated at a time it was trained on, with the exact σ̂ of that
+    time — the standard discrete-model adaptation (k-diffusion does the
+    same).
+    """
+
+    timesteps: jnp.ndarray   # [S] int32, decreasing (snapped grid)
+    alpha: jnp.ndarray       # [S] √ᾱ at the snapped steps
+    sigma_hat: jnp.ndarray   # [S] σ̂ = √(1−ᾱ)/√ᾱ, decreasing
+
+
+def make_karras_heun_params(schedule: NoiseSchedule,
+                            num_sampling_steps: int = 18,
+                            rho: float = 7.0) -> KarrasHeunParams:
+    """Karras ρ-spaced σ̂ grid (arXiv:2206.00364 eq. 5), snapped to the
+    discrete schedule: σ̂ᵢ = (σ̂_max^{1/ρ} + i/(S−1)·(σ̂_min^{1/ρ} −
+    σ̂_max^{1/ρ}))^ρ, then tᵢ = argmin_t |log σ̂(t) − log σ̂ᵢ|. Endpoints
+    land exactly on t = T−1 and t = 0. Snapping can duplicate timesteps
+    when S approaches T; duplicates are zero-length steps (harmless)."""
+    abar = schedule.alphas_cumprod
+    sig_hat_all = jnp.sqrt((1.0 - abar) / abar)          # [T], increasing
+    s_min, s_max = sig_hat_all[0], sig_hat_all[-1]
+    i = jnp.linspace(0.0, 1.0, num_sampling_steps)
+    inv = 1.0 / rho
+    grid = (s_max ** inv + i * (s_min ** inv - s_max ** inv)) ** rho  # dec.
+    ts = jnp.argmin(
+        jnp.abs(jnp.log(sig_hat_all)[None, :] - jnp.log(grid)[:, None]),
+        axis=1).astype(jnp.int32)                        # [S], decreasing
+    abar_s = abar[ts]
+    return KarrasHeunParams(timesteps=ts, alpha=jnp.sqrt(abar_s),
+                            sigma_hat=jnp.sqrt((1.0 - abar_s) / abar_s))
+
+
 def sigma_ladder(sigma_min: float, sigma_max: float,
                  num_scales: int) -> jnp.ndarray:
     """Geometric σ ladder from σ_max down to σ_min.

@@ -40,12 +40,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Restrict sampling to the first N local devices "
                         "(default: all — generation is data-parallel)")
     p.add_argument("--sampler", type=str, default="default",
-                   choices=["default", "dpm++"],
+                   choices=["default", "dpm++", "heun"],
                    help="'default' = the model family's own sampler; "
                         "'dpm++' = DPM-Solver++(2M) fast ODE sampler "
-                        "(ddpm/ddim models)")
+                        "(one model eval/step); 'heun' = Karras-spaced "
+                        "Heun/EDM (two evals/update) — both ddpm/ddim "
+                        "models only")
     p.add_argument("--sampler_steps", type=int, default=20,
-                   help="Step count for --sampler dpm++")
+                   help="Grid size for --sampler dpm++/heun")
     p.add_argument("--class_id", type=int, default=None,
                    help="Class label for conditional checkpoints "
                         "(model_config.num_classes > 0); all samples "
@@ -170,19 +172,21 @@ def main(argv=None) -> int:
                 params, key, image, mask, labels=labels,
                 guidance_scale=args.guidance_scale if labels is not None
                 else 1.0))
-        elif args.sampler == "dpm++":
-            if not hasattr(model, "generate_samples_dpm"):
+        elif args.sampler != "default":
+            method = {"dpm++": "generate_samples_dpm",
+                      "heun": "generate_samples_heun"}[args.sampler]
+            if not hasattr(model, method):
                 raise SystemExit(
-                    f"--sampler dpm++ needs an ε-prediction model "
+                    f"--sampler {args.sampler} needs an ε-prediction model "
                     f"(ddpm/ddim), got {args.model_type}")
             try:
-                samples = np.asarray(model.generate_samples_dpm(
+                samples = np.asarray(getattr(model, method)(
                     params, key, args.num_samples,
                     num_steps=args.sampler_steps, labels=labels,
                     guidance_scale=args.guidance_scale if labels is not None
                     else 1.0))
             except ValueError as e:  # e.g. --sampler_steps out of [2, T]
-                raise SystemExit(f"--sampler dpm++: {e}")
+                raise SystemExit(f"--sampler {args.sampler}: {e}")
         elif labels is not None:
             samples = np.asarray(model.generate_samples_cfg(
                 params, key, args.num_samples, labels,

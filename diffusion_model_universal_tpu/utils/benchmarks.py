@@ -267,9 +267,10 @@ class DiffusionBenchmark:
             raise ValueError(
                 f"pairing must be 'unpaired' or 'reconstruction' "
                 f"(got {pairing!r})")
-        if sampler not in ("default", "dpm++"):
+        if sampler not in ("default", "dpm++", "heun"):
             raise ValueError(
-                f"sampler must be 'default' or 'dpm++' (got {sampler!r})")
+                f"sampler must be 'default', 'dpm++' or 'heun' "
+                f"(got {sampler!r})")
         self.n_samples = n_samples
         self.batch_size = batch_size
         self.extractor = make_extractor(use_inception, seed)
@@ -280,11 +281,11 @@ class DiffusionBenchmark:
         self.recon_t_frac = recon_t_frac
         # Sampler used for generation: "default" = the model family's
         # own `generate_samples` (the reference's benchmark semantics,
-        # `benchmarks.py:229-243`); "dpm++" = DPM-Solver++(2M) with
-        # ``sampler_steps`` evals (ε-prediction families only) — lets
-        # the harness measure how much fidelity the fast ODE sampler
-        # retains vs the full ancestral chain (mirrors
-        # `generate.py --sampler dpm++`).
+        # `benchmarks.py:229-243`); "dpm++" = DPM-Solver++(2M), "heun" =
+        # Karras-spaced Heun/EDM, each with a ``sampler_steps`` grid
+        # (ε-prediction families only) — lets the harness measure how
+        # much fidelity the fast ODE samplers retain vs the full
+        # ancestral chain (mirrors `generate.py --sampler`).
         self.sampler = sampler
         self.sampler_steps = sampler_steps
         # Optional device mesh: sample generation (the dominant cost of a
@@ -362,13 +363,15 @@ class DiffusionBenchmark:
             bs = min(self.batch_size, remaining)
             key, sub = jax.random.split(key)
             with sampling_scope(self.mesh):
-                if self.sampler == "dpm++":
-                    if not hasattr(model, "generate_samples_dpm"):
+                if self.sampler != "default":
+                    method = {"dpm++": "generate_samples_dpm",
+                              "heun": "generate_samples_heun"}[self.sampler]
+                    if not hasattr(model, method):
                         raise ValueError(
-                            "benchmark.sampler 'dpm++' needs an "
+                            f"benchmark.sampler {self.sampler!r} needs an "
                             "ε-prediction model (ddpm/ddim); use "
                             "'default' for score/energy families")
-                    samples = model.generate_samples_dpm(
+                    samples = getattr(model, method)(
                         params, sub, bs,
                         num_steps=self.sampler_steps or 20)
                 else:

@@ -258,6 +258,54 @@ def test_dpm_sampler_shape_and_determinism(ddpm_and_params):
     assert np.isfinite(np.asarray(a)).all()
 
 
+def test_heun_second_order_convergence():
+    """Karras-spaced Heun must be a genuine 2nd-order solver: on the
+    analytic model, doubling the grid cuts its error ~4× (vs ~2× for
+    the 1st-order Euler update on the SAME snapped grid), and at S=40
+    it beats Euler by a wide margin (measured: 0.0075 vs 0.0014 at
+    S=40, 0.0039 vs 0.00033 at S=80)."""
+    cfg = {"num_timesteps": 1000, "image_size": 32, "in_channels": 3,
+           "model_channels": 8, "compute_dtype": "float32"}
+    m = _AnalyticDDPM(cfg)
+    key = jax.random.PRNGKey(3)
+
+    from diffusion_model_universal_tpu.models.schedules import \
+        make_karras_heun_params
+
+    def euler(S, b=4):
+        p = make_karras_heun_params(m.schedule, S)
+        k_init, _ = jax.random.split(key)
+        x = jax.random.normal(k_init, m.sample_shape(b))
+        for j in range(1, S):
+            t_b = jnp.full((b,), p.timesteps[j - 1], jnp.int32)
+            d = m.apply({}, x, t_b)
+            x = p.alpha[j] * (x / p.alpha[j - 1]
+                              + (p.sigma_hat[j] - p.sigma_hat[j - 1]) * d)
+        return np.asarray(x)
+
+    def heun(S):
+        return np.asarray(m.generate_samples_heun({}, key, 4, num_steps=S))
+
+    ref = heun(400)
+    eh20, eh40 = (np.abs(heun(S) - ref).mean() for S in (20, 40))
+    ee20, ee40 = (np.abs(euler(S) - ref).mean() for S in (20, 40))
+    assert eh40 < eh20 / 3, (eh20, eh40)        # order 2: ~4× per doubling
+    assert ee40 > ee20 / 3, (ee20, ee40)        # order 1: ~2× per doubling
+    assert eh40 < ee40 / 4, (ee40, eh40)
+
+
+def test_heun_sampler_shape_and_determinism(ddpm_and_params):
+    model, params = ddpm_and_params
+    key = jax.random.PRNGKey(11)
+    a = model.generate_samples_heun(params, key, 2, num_steps=5)
+    b = model.generate_samples_heun(params, key, 2, num_steps=5)
+    assert a.shape == model.sample_shape(2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+    with pytest.raises(ValueError, match="num_steps"):
+        model.generate_samples_heun(params, key, 2, num_steps=1)
+
+
 def test_score_final_denoise_option():
     """`final_denoise: true` applies the Tweedie step x += σ_min²·score
     after the Langevin ladder (Song & Ermon 2020 Technique 5); default
@@ -368,7 +416,8 @@ class _PTypeAnalyticDDPM(DDPM):
         return (x - s * eps) / a  # x0
 
 
-@pytest.mark.parametrize("sampler", ["ancestral", "ddim", "dpm", "cfg"])
+@pytest.mark.parametrize("sampler", ["ancestral", "ddim", "dpm", "heun",
+                                     "cfg"])
 def test_samplers_invariant_to_prediction_type(sampler):
     rng = jax.random.PRNGKey(3)
     outs = {}
@@ -385,6 +434,9 @@ def test_samplers_invariant_to_prediction_type(sampler):
         elif sampler == "dpm":
             out = model.generate_samples_dpm(params={}, rng=rng,
                                              batch_size=2, num_steps=4)
+        elif sampler == "heun":
+            out = model.generate_samples_heun(params={}, rng=rng,
+                                              batch_size=2, num_steps=4)
         else:  # cfg-guided ancestral
             labels = jnp.array([1, 2])
             out = model.generate_samples_cfg(params={}, rng=rng,
