@@ -249,6 +249,12 @@ def export_ddpm_checkpoint(payload: Dict[str, Any]) -> Dict[str, Any]:
     even inside the reference). The emitted config uses the reference's
     canonical spellings."""
     cfg = dict(payload.get("config", {}) or {})
+    if cfg.get("learn_sigma"):
+        raise ValueError(
+            "learn_sigma checkpoints cannot be exported: the reference "
+            "UNet has a C-channel output head, not the 2C learned-"
+            "variance head (drop the variance channels and retrain, or "
+            "keep the model in this framework)")
     num_t = int(cfg.get("num_timesteps", cfg.get("time_steps", 1000)))
     beta_start = float(cfg.get("beta_start", 1e-4))
     beta_end = float(cfg.get("beta_end", 2e-2))

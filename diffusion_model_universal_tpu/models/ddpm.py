@@ -27,9 +27,11 @@ import jax.numpy as jnp
 from ..utils.losses import DiffusionLoss
 from .base import Array, BaseDiffusionModel, Params
 from .schedules import (_PREDICTION_TYPES, ddpm_posterior_step,
-                        make_dpm_solver_params, make_karras_heun_params,
-                        make_noise_schedule, prediction_target,
-                        prediction_to_eps, q_sample)
+                        ddpm_posterior_step_learned,
+                        learned_range_log_variance, make_dpm_solver_params,
+                        make_karras_heun_params, make_noise_schedule,
+                        prediction_target, prediction_to_eps, q_sample,
+                        vlb_term_bits)
 from .unet import UNet
 
 
@@ -62,6 +64,14 @@ class DDPM(BaseDiffusionModel):
                 f"{_PREDICTION_TYPES}, got {self.prediction_type!r}")
 
         in_ch = cfg.get("in_channels", 3)
+        # iDDPM learned variance (superset — the reference's reverse
+        # process is fixed-β̃ only, `models/ddpm.py:298-328`): the UNet
+        # emits 2C channels; the extra C parameterize the per-pixel
+        # reverse variance via the learned-range interpolation
+        # (schedules.learned_range_log_variance) and are trained by the
+        # VLB half of the hybrid objective (arXiv:2102.09672 §3.1-3.2).
+        self.learn_sigma = bool(cfg.get("learn_sigma", False))
+        self.vlb_weight = float(cfg.get("vlb_weight", 1e-3))
         # Class-conditional + classifier-free guidance (superset — the
         # reference is unconditional): num_classes > 0 adds a label
         # embedding; cfg_drop_prob of training labels are replaced by
@@ -72,7 +82,7 @@ class DDPM(BaseDiffusionModel):
         self.net = UNet(
             in_channels=in_ch,
             model_channels=cfg.get("model_channels", 64),
-            out_channels=in_ch,
+            out_channels=in_ch * (2 if self.learn_sigma else 1),
             dropout=cfg.get("dropout", 0.0),
             dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
@@ -135,7 +145,29 @@ class DDPM(BaseDiffusionModel):
         # to other targets — use loss_config.weighting accordingly.
         target = prediction_target(self.schedule, x, noise, t,
                                    self.prediction_type)
-        return self.loss_fn(pred, target, t)
+        if not self.learn_sigma:
+            return self.loss_fn(pred, target, t)
+        # iDDPM hybrid objective (arXiv:2102.09672 eq. 16): L_simple on
+        # the prediction half + λ·L_vlb on the variance half. The mean
+        # entering L_vlb is stop-gradiented, so L_vlb trains ONLY the
+        # variance channels (pinned in tests/test_models.py).
+        mean_out, v_out = self._split_output(pred)
+        l_simple = self.loss_fn(mean_out, target, t)
+        eps_hat = prediction_to_eps(
+            self.schedule, jax.lax.stop_gradient(mean_out), noisy_x, t,
+            self.prediction_type)
+        log_var = learned_range_log_variance(self.schedule, v_out, t)
+        l_vlb = jnp.mean(vlb_term_bits(self.schedule, x, noisy_x, t,
+                                       eps_hat, log_var))
+        return l_simple + self.vlb_weight * l_vlb
+
+    def _split_output(self, out: Array):
+        """Split a raw network output into (prediction, variance-head)
+        halves; (out, None) for fixed-variance models."""
+        if not self.learn_sigma:
+            return out, None
+        c = self.image_channels
+        return out[..., :c], out[..., c:]
 
     def make_class_labels(self, class_id: int, batch_size: int) -> Array:
         """Validate ``class_id`` and build a [batch_size] label array.
@@ -170,6 +202,12 @@ class DDPM(BaseDiffusionModel):
                 "(model_config.num_classes == 0)")
 
         def to_eps(out, x, t_b):
+            # learn_sigma models carry the variance head in the last C
+            # channels; every ε-consumer (deterministic samplers, CFG,
+            # benchmark reconstruction) uses the prediction half only.
+            # Slicing is linear, so slicing AFTER the CFG combination
+            # below equals guiding the sliced halves.
+            out = self._split_output(out)[0]
             return prediction_to_eps(self.schedule, out, x, t_b,
                                      self.prediction_type)
 
@@ -191,6 +229,58 @@ class DDPM(BaseDiffusionModel):
 
         return guided
 
+    def mean_var_fn(self, params: Params, y: Optional[Array] = None,
+                    guidance_scale: float = 1.0):
+        """Build ``(x, t_b) -> (ε̂, log σ²)`` for learned-variance models.
+
+        The prediction half follows the same CFG/conversion rules as
+        :meth:`eps_fn`; the variance comes from the CONDITIONAL output's
+        head (guided-diffusion's convention — guidance shifts the mean,
+        not the uncertainty).
+        """
+        if not self.learn_sigma:
+            raise ValueError("mean_var_fn requires learn_sigma=true")
+        if y is not None and self.num_classes <= 0:
+            raise ValueError(
+                "labels passed to an unconditional model "
+                "(model_config.num_classes == 0)")
+        if y is None and guidance_scale != 1.0:
+            raise ValueError(
+                "guidance_scale requires labels (CFG needs a class "
+                "to guide towards)")
+
+        def fn(x, t_b):
+            o_c = self.apply(params, x, t_b, y=y)
+            pred, v = self._split_output(o_c)
+            log_var = learned_range_log_variance(self.schedule, v, t_b)
+            if y is not None and guidance_scale != 1.0:
+                y_null = jnp.full_like(y, self.num_classes)
+                pred_u, _ = self._split_output(
+                    self.apply(params, x, t_b, y=y_null))
+                pred = pred_u + guidance_scale * (pred - pred_u)
+            e = prediction_to_eps(self.schedule, pred, x, t_b,
+                                  self.prediction_type)
+            return e, log_var
+
+        return fn
+
+    def posterior_step_fn(self, params: Params, y: Optional[Array] = None,
+                          guidance_scale: float = 1.0):
+        """One ancestral reverse step ``(x, t_b, noise) -> x_{t−1}``,
+        dispatching on learn_sigma so every ancestral consumer (plain,
+        CFG, inpainting, intermediates) gets the right variance."""
+        if self.learn_sigma:
+            mv = self.mean_var_fn(params, y, guidance_scale)
+
+            def step(x, t_b, noise):
+                e, log_var = mv(x, t_b)
+                return ddpm_posterior_step_learned(self.schedule, x, t_b,
+                                                   e, log_var, noise)
+            return step
+        eps = self.eps_fn(params, y, guidance_scale)
+        return lambda x, t_b, noise: ddpm_posterior_step(
+            self.schedule, x, t_b, eps(x, t_b), noise)
+
     # -- sampling ---------------------------------------------------------
     def _init_noise(self, rng: Array, batch_size: int):
         """Shared sampler preamble: (loop_key, x_T). Every sampler splits
@@ -202,22 +292,23 @@ class DDPM(BaseDiffusionModel):
                                          self.sample_shape(batch_size))
 
     def _denoise_range(self, params: Params, x: Array, rng: Array,
-                       t_hi: int, t_lo: int, eps_fn=None) -> Array:
+                       t_hi: int, t_lo: int, y: Optional[Array] = None,
+                       guidance_scale: float = 1.0) -> Array:
         """Run reverse diffusion from t_hi−1 down to t_lo as one scan.
-        ``eps_fn`` defaults to the unconditional prediction; CFG samplers
-        pass a guided closure (:meth:`eps_fn`)."""
+        ``y``/``guidance_scale`` select plain, conditional, or CFG-guided
+        prediction; learn_sigma models use their learned variance
+        (both via :meth:`posterior_step_fn`)."""
         steps = t_hi - t_lo
         b = x.shape[0]
-        eps_fn = eps_fn if eps_fn is not None else self.eps_fn(params)
+        step_fn = self.posterior_step_fn(params, y, guidance_scale)
 
         def body(carry, inp):
             x, key = carry
             t_scalar = inp
             key, k_eps = jax.random.split(key)
             t_b = jnp.full((b,), t_scalar, jnp.int32)
-            eps_pred = eps_fn(x, t_b)
             noise = jax.random.normal(k_eps, x.shape, x.dtype)
-            x = ddpm_posterior_step(self.schedule, x, t_b, eps_pred, noise)
+            x = step_fn(x, t_b, noise)
             return (x, key), None
 
         ts = jnp.arange(t_hi - 1, t_lo - 1, -1, dtype=jnp.int32)
@@ -233,9 +324,8 @@ class DDPM(BaseDiffusionModel):
         (superset — the reference is unconditional). ``labels`` is a
         [batch_size] int array; scale 1.0 = plain conditional."""
         k_loop, x = self._init_noise(rng, batch_size)
-        fn = self.eps_fn(params, labels, guidance_scale)
-        return self._denoise_range(params, x, k_loop,
-                                   self.num_timesteps, 0, fn)
+        return self._denoise_range(params, x, k_loop, self.num_timesteps,
+                                   0, labels, guidance_scale)
 
     @functools.partial(jax.jit, static_argnames=("self", "batch_size"))
     def generate_samples(self, params: Params, rng: Array,
@@ -377,16 +467,15 @@ class DDPM(BaseDiffusionModel):
         """
         b = image.shape[0]
         k_loop, x = self._init_noise(rng, b)
-        eps_fn = self.eps_fn(params, labels, guidance_scale)
+        step_fn = self.posterior_step_fn(params, labels, guidance_scale)
         mask = jnp.broadcast_to(mask, image.shape).astype(image.dtype)
 
         def body(carry, t_scalar):
             x, key = carry
             key, k_eps, k_q = jax.random.split(key, 3)
             t_b = jnp.full((b,), t_scalar, jnp.int32)
-            eps_pred = eps_fn(x, t_b)
             noise = jax.random.normal(k_eps, x.shape, x.dtype)
-            x = ddpm_posterior_step(self.schedule, x, t_b, eps_pred, noise)
+            x = step_fn(x, t_b, noise)
             # Known region at the level the chain has just reached (t−1;
             # q_sample at t=0 is ≈ the clean image, √ᾱ₀ ≈ 1).
             t_prev = jnp.maximum(t_b - 1, 0)

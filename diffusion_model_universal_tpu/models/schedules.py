@@ -196,6 +196,111 @@ def ddpm_posterior_step(schedule: NoiseSchedule, x: jnp.ndarray,
     return mean + nonzero * sigma * noise
 
 
+def posterior_log_variance_clipped(schedule: NoiseSchedule) -> jnp.ndarray:
+    """log β̃_t with β̃_0 (which is exactly 0) replaced by β̃_1.
+
+    Nichol & Dhariwal 2021 (arXiv:2102.09672 §3.1): the clipped table is
+    the lower end of the learned-range interpolation and the true-
+    posterior log-variance used by the VLB's KL terms.
+    """
+    pv = schedule.posterior_variance
+    return jnp.log(jnp.concatenate([pv[1:2], pv[1:]]))
+
+
+def learned_range_log_variance(schedule: NoiseSchedule, v: jnp.ndarray,
+                               t: jnp.ndarray) -> jnp.ndarray:
+    """iDDPM 'learned_range' variance (arXiv:2102.09672 eq. 15).
+
+    The network's variance head emits a raw per-pixel ``v``; the model
+    log-variance interpolates between the two analytic extremes of the
+    reverse-process variance: log σ²_t = f·log β_t + (1−f)·log β̃_t with
+    f = (v+1)/2. ``v`` is unconstrained (not clamped) as in the paper —
+    the VLB pulls it into [−1, 1] where the optimum lives.
+    """
+    min_log = _bcast(posterior_log_variance_clipped(schedule), t)
+    max_log = _bcast(jnp.log(schedule.betas), t)
+    frac = (v.astype(jnp.float32) + 1.0) * 0.5
+    return frac * max_log + (1.0 - frac) * min_log
+
+
+def q_posterior_mean(schedule: NoiseSchedule, x0: jnp.ndarray,
+                     x_t: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Mean of the true posterior q(x_{t−1} | x_t, x₀) (Ho et al. eq. 7):
+    μ̃ = √ᾱ_{t−1}·β_t/(1−ᾱ_t)·x₀ + √α_t·(1−ᾱ_{t−1})/(1−ᾱ_t)·x_t."""
+    c0 = (jnp.sqrt(schedule.alphas_cumprod_prev) * schedule.betas
+          / (1.0 - schedule.alphas_cumprod))
+    ct = (jnp.sqrt(schedule.alphas) * (1.0 - schedule.alphas_cumprod_prev)
+          / (1.0 - schedule.alphas_cumprod))
+    return _bcast(c0, t) * x0 + _bcast(ct, t) * x_t
+
+
+def normal_kl(mean1: jnp.ndarray, logvar1: jnp.ndarray, mean2: jnp.ndarray,
+              logvar2: jnp.ndarray) -> jnp.ndarray:
+    """KL(N(mean1, e^{logvar1}) ‖ N(mean2, e^{logvar2})), elementwise nats."""
+    return 0.5 * (-1.0 + logvar2 - logvar1 + jnp.exp(logvar1 - logvar2)
+                  + (mean1 - mean2) ** 2 * jnp.exp(-logvar2))
+
+
+def discretized_gaussian_log_likelihood(x: jnp.ndarray, means: jnp.ndarray,
+                                        log_scales: jnp.ndarray
+                                        ) -> jnp.ndarray:
+    """log p(x) for images in [−1, 1] quantized to 256 levels under
+    N(means, e^{2·log_scales}) — the VLB's t=0 decoder term (Ho et al.
+    §3.3): probability mass of the 1/127.5-wide bin around x, via the
+    tanh-approximated standard-normal CDF; open-ended edge bins.
+    """
+    def cdf(z):
+        return 0.5 * (1.0 + jnp.tanh(jnp.sqrt(2.0 / jnp.pi)
+                                     * (z + 0.044715 * z ** 3)))
+
+    inv_std = jnp.exp(-log_scales)
+    plus = cdf((x - means + 1.0 / 255.0) * inv_std)
+    minus = cdf((x - means - 1.0 / 255.0) * inv_std)
+    log_plus = jnp.log(jnp.clip(plus, 1e-12))
+    log_one_minus = jnp.log(jnp.clip(1.0 - minus, 1e-12))
+    log_delta = jnp.log(jnp.clip(plus - minus, 1e-12))
+    return jnp.where(x < -0.999, log_plus,
+                     jnp.where(x > 0.999, log_one_minus, log_delta))
+
+
+def vlb_term_bits(schedule: NoiseSchedule, x0: jnp.ndarray,
+                  x_t: jnp.ndarray, t: jnp.ndarray, eps_pred: jnp.ndarray,
+                  log_var: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample VLB term L_{t−1} in bits/dim (arXiv:2102.09672 eq. 16):
+    KL(q(x_{t−1}|x_t,x₀) ‖ p_θ(x_{t−1}|x_t)) for t>0, −log p(x₀|x₁) for
+    t=0. ``eps_pred`` parameterizes the model mean (the caller applies
+    stop_gradient for the hybrid objective so this term trains only the
+    variance head); x̂₀ is clipped to [−1, 1] as in the paper's code.
+    """
+    true_mean = q_posterior_mean(schedule, x0, x_t, t)
+    true_logvar = _bcast(posterior_log_variance_clipped(schedule), t)
+    a = _bcast(schedule.sqrt_alphas_cumprod, t)
+    s = _bcast(schedule.sqrt_one_minus_alphas_cumprod, t)
+    model_x0 = jnp.clip((x_t - s * eps_pred) / a, -1.0, 1.0)
+    model_mean = q_posterior_mean(schedule, model_x0, x_t, t)
+    kl = normal_kl(true_mean, true_logvar, model_mean, log_var)
+    kl = kl.reshape(kl.shape[0], -1).mean(axis=1) / jnp.log(2.0)
+    nll = -discretized_gaussian_log_likelihood(x0, model_mean, 0.5 * log_var)
+    nll = nll.reshape(nll.shape[0], -1).mean(axis=1) / jnp.log(2.0)
+    return jnp.where(t == 0, nll, kl)
+
+
+def ddpm_posterior_step_learned(schedule: NoiseSchedule, x: jnp.ndarray,
+                                t: jnp.ndarray, eps_pred: jnp.ndarray,
+                                log_var: jnp.ndarray,
+                                noise: jnp.ndarray) -> jnp.ndarray:
+    """Ancestral reverse step with the model's LEARNED log-variance
+    (arXiv:2102.09672 §3.1) — same posterior mean as
+    :func:`ddpm_posterior_step`, σ = e^{log_var/2} instead of √β̃_t."""
+    beta_t = _bcast(schedule.betas, t)
+    inv_sqrt_alpha_t = jax.lax.rsqrt(_bcast(schedule.alphas, t))
+    sqrt_one_minus_ac = _bcast(schedule.sqrt_one_minus_alphas_cumprod, t)
+    mean = inv_sqrt_alpha_t * (x - beta_t / sqrt_one_minus_ac * eps_pred)
+    sigma = jnp.exp(0.5 * log_var).astype(x.dtype)
+    nonzero = (t > 0).astype(x.dtype)[:, None, None, None]
+    return mean + nonzero * sigma * noise
+
+
 def ddim_timesteps(num_timesteps: int, num_sampling_steps: int,
                    method: str = "uniform") -> jnp.ndarray:
     """Select the DDIM sampling timestep subsequence.

@@ -478,3 +478,107 @@ def test_inpaint_keeps_known_region_and_fills_rest():
     np.testing.assert_array_equal(out[m], np.asarray(image)[m])
     # The generated half must NOT be a copy of the conditioning image.
     assert np.abs(out[~m] - np.asarray(image)[~m]).max() > 0.05
+
+
+# -- iDDPM learned variance (learn_sigma, arXiv:2102.09672) ----------------
+
+class _LearnSigmaAnalytic(DDPM):
+    """Analytic ε (same posterior as _AnalyticDDPM) plus a constant
+    variance head drawn from ``params['v']`` — lets the learned-variance
+    machinery be tested without a trained network."""
+
+    DATA_VAR = 0.01
+
+    def apply(self, params, x, t, train=False, rng=None, y=None):
+        abar = jnp.take(self.schedule.alphas_cumprod, t)[:, None, None, None]
+        eps = jnp.sqrt(1 - abar) * x / ((1 - abar) + self.DATA_VAR * abar)
+        v = jnp.full_like(eps, params["v"] if "v" in params else -1.0)
+        return jnp.concatenate([eps, v], axis=-1)
+
+
+def test_learn_sigma_ancestral_matches_fixed_at_v_min():
+    """With the variance head pinned at v=−1 (log σ² = clipped log β̃)
+    the learned-variance ancestral chain must reproduce the fixed-β̃
+    chain: same ε, same rng stream, same posterior mean, and β̃ vs
+    clipped-β̃ only differ at t=0 where the noise is gated off."""
+    cfg = dict(TINY, num_timesteps=16)
+    fixed = _AnalyticDDPM(cfg)
+    learned = _LearnSigmaAnalytic(dict(cfg, learn_sigma=True))
+    key = jax.random.PRNGKey(5)
+    a = np.asarray(fixed.generate_samples({}, key, 4))
+    b = np.asarray(learned.generate_samples({"v": -1.0}, key, 4))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # a wider variance (v=+1 → β_t) must change the trajectory
+    c = np.asarray(learned.generate_samples({"v": 1.0}, key, 4))
+    assert np.abs(c - b).max() > 1e-3
+
+
+def test_learn_sigma_deterministic_samplers_use_prediction_half():
+    """DPM++/Heun consume ε̂ only: on the analytic model their output
+    must be identical for any value of the variance head."""
+    cfg = dict(TINY, num_timesteps=1000, learn_sigma=True)
+    m = _LearnSigmaAnalytic(cfg)
+    key = jax.random.PRNGKey(7)
+    for fn in (m.generate_samples_dpm, m.generate_samples_heun):
+        lo = np.asarray(fn({"v": -1.0}, key, 2, num_steps=6))
+        hi = np.asarray(fn({"v": 1.0}, key, 2, num_steps=6))
+        np.testing.assert_array_equal(lo, hi)
+        assert np.isfinite(lo).all()
+
+
+def test_learn_sigma_vlb_trains_only_variance_head():
+    """Hybrid-objective gradient separation (the paper's stop-gradient):
+    the VLB weight must not change the gradient of the prediction path,
+    and the variance path must receive gradient ONLY through the VLB."""
+
+    class _ParamHeads(DDPM):
+        def apply(self, params, x, t, train=False, rng=None, y=None):
+            eps = params["a"] * x
+            v = jnp.broadcast_to(params["b"], x.shape)
+            return jnp.concatenate([eps, v], axis=-1)
+
+    cfg = dict(TINY, num_timesteps=8, learn_sigma=True, vlb_weight=1e-2)
+    m = _ParamHeads(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 32, 32, 3),
+                           minval=-0.9, maxval=0.9)
+    params = {"a": jnp.asarray(0.5), "b": jnp.asarray(0.0)}
+    g = jax.grad(m.loss_function)(params, x, jax.random.PRNGKey(1))
+    assert float(jnp.abs(g["b"])) > 0.0  # variance head DOES train
+
+    m0 = _ParamHeads(dict(cfg, vlb_weight=0.0))
+    g0 = jax.grad(m0.loss_function)(params, x, jax.random.PRNGKey(1))
+    # prediction-path gradient is identical with/without the VLB term
+    np.testing.assert_allclose(float(g["a"]), float(g0["a"]), rtol=1e-6)
+    # ... and with weight 0 the variance head gets no gradient at all
+    assert float(jnp.abs(g0["b"])) == 0.0
+
+
+def test_learn_sigma_unet_end_to_end():
+    """Real tiny UNet with learn_sigma: 2C-channel forward, finite
+    hybrid loss/grads, C-channel samples from the learned-variance
+    ancestral sampler, checkpoint roundtrip."""
+    cfg = dict(TINY, learn_sigma=True)
+    m = DDPM(cfg)
+    params = m.init_params(jax.random.PRNGKey(0))
+    out = m.apply(params, jnp.zeros((2, 32, 32, 3)), jnp.array([0, 3]))
+    assert out.shape == (2, 32, 32, 6)
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3),
+                           minval=-1.0, maxval=1.0)
+    loss, grads = jax.value_and_grad(m.loss_function)(
+        params, x, jax.random.PRNGKey(2))
+    assert jnp.isfinite(loss)
+    assert all(jnp.isfinite(g).all() for g in jax.tree_util.tree_leaves(grads))
+
+    s = m.generate_samples(params, jax.random.PRNGKey(3), 2)
+    assert s.shape == m.sample_shape(2)
+    assert np.isfinite(np.asarray(s)).all()
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/m.ckpt"
+        m.save(path, params)
+        m2, params2 = DDPM.load_with_config(path)
+        assert m2.learn_sigma
+        s2 = m2.generate_samples(params2, jax.random.PRNGKey(3), 2)
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(s2))

@@ -165,3 +165,94 @@ def test_prediction_type_unknown_raises():
         S.prediction_to_eps(sched, x, x, t, "velocity")
     with pytest.raises(ValueError, match="prediction_type"):
         S.prediction_target(sched, x, x, t, "eps")
+
+
+# -- iDDPM learned-variance math (arXiv:2102.09672) -----------------------
+
+def test_learned_range_log_variance_endpoints():
+    """v=−1 must give the clipped posterior log-variance, v=+1 log β_t,
+    and v=0 their midpoint (the paper's eq. 15 interpolation)."""
+    sched = S.make_noise_schedule(num_timesteps=16)
+    t = jnp.array([0, 1, 7, 15])
+    shape = (4, 2, 2, 3)
+
+    pv = np.asarray(sched.posterior_variance)
+    min_log = np.log(np.concatenate([pv[1:2], pv[1:]]))[np.asarray(t)]
+    max_log = np.log(np.asarray(sched.betas))[np.asarray(t)]
+
+    for v_val, want in ((-1.0, min_log), (1.0, max_log),
+                        (0.0, 0.5 * (min_log + max_log))):
+        got = np.asarray(S.learned_range_log_variance(
+            sched, jnp.full(shape, v_val), t))
+        np.testing.assert_allclose(got, want[:, None, None, None]
+                                   * np.ones(shape), rtol=1e-5)
+
+
+def test_normal_kl_closed_form_and_zero_at_match():
+    rng = np.random.RandomState(0)
+    m1, lv1 = rng.randn(32), rng.randn(32)
+    m2, lv2 = rng.randn(32), rng.randn(32)
+    got = np.asarray(S.normal_kl(jnp.asarray(m1), jnp.asarray(lv1),
+                                 jnp.asarray(m2), jnp.asarray(lv2)))
+    want = 0.5 * (-1.0 + lv2 - lv1 + np.exp(lv1 - lv2)
+                  + (m1 - m2) ** 2 * np.exp(-lv2))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    zero = np.asarray(S.normal_kl(jnp.asarray(m1), jnp.asarray(lv1),
+                                  jnp.asarray(m1), jnp.asarray(lv1)))
+    np.testing.assert_allclose(zero, 0.0, atol=1e-7)
+    assert (got >= -1e-7).all()
+
+
+def test_discretized_gaussian_bins_sum_to_one():
+    """The 256 bin masses of the t=0 decoder must sum to ~1 for any
+    (mean, scale): the open-ended edge bins absorb the tails."""
+    centers = jnp.asarray(np.arange(256) / 127.5 - 1.0)
+    for mean, log_scale in ((0.0, -2.0), (0.3, -1.0), (-0.9, -3.0)):
+        ll = S.discretized_gaussian_log_likelihood(
+            centers, jnp.full((256,), mean), jnp.full((256,), log_scale))
+        total = float(jnp.sum(jnp.exp(ll)))
+        assert abs(total - 1.0) < 2e-2, (mean, log_scale, total)
+
+
+def test_vlb_term_zero_at_true_posterior_and_positive_otherwise():
+    """With the exact ε and the true posterior log-variance the KL terms
+    (t>0) are 0; any variance mismatch strictly increases them."""
+    sched = S.make_noise_schedule(num_timesteps=32)
+    rng = jax.random.PRNGKey(0)
+    kx, kn = jax.random.split(rng)
+    x0 = jax.random.uniform(kx, (4, 4, 4, 3), minval=-0.5, maxval=0.5)
+    noise = jax.random.normal(kn, x0.shape)
+    t = jnp.array([1, 5, 17, 31])
+    x_t = S.q_sample(sched, x0, t, noise)
+    true_logvar = S.learned_range_log_variance(
+        sched, jnp.full_like(x0, -1.0), t)
+
+    at_true = np.asarray(S.vlb_term_bits(sched, x0, x_t, t, noise,
+                                         true_logvar))
+    np.testing.assert_allclose(at_true, 0.0, atol=1e-5)
+    off = np.asarray(S.vlb_term_bits(sched, x0, x_t, t, noise,
+                                     true_logvar + 1.0))
+    assert (off > 1e-3).all()
+
+
+def test_posterior_step_learned_matches_fixed_at_min_variance():
+    """At v=−1 (log-variance = clipped β̃) the learned step must equal
+    the fixed-variance step for every t>0, and be deterministic at t=0."""
+    sched = S.make_noise_schedule(num_timesteps=16)
+    rng = jax.random.PRNGKey(1)
+    kx, ke, kn = jax.random.split(rng, 3)
+    x = jax.random.normal(kx, (3, 4, 4, 3))
+    eps = jax.random.normal(ke, x.shape)
+    noise = jax.random.normal(kn, x.shape)
+    t = jnp.array([1, 7, 15])
+    log_var = S.learned_range_log_variance(sched, jnp.full_like(x, -1.0), t)
+    got = S.ddpm_posterior_step_learned(sched, x, t, eps, log_var, noise)
+    want = S.ddpm_posterior_step(sched, x, t, eps, noise)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    t0 = jnp.array([0, 0, 0])
+    lv0 = S.learned_range_log_variance(sched, jnp.full_like(x, 0.3), t0)
+    a = S.ddpm_posterior_step_learned(sched, x, t0, eps, lv0, noise)
+    b = S.ddpm_posterior_step_learned(sched, x, t0, eps, lv0, -noise)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
