@@ -31,7 +31,7 @@ from .schedules import (_PREDICTION_TYPES, ddpm_posterior_step,
                         learned_range_log_variance, make_dpm_solver_params,
                         make_karras_heun_params, make_noise_schedule,
                         prediction_target, prediction_to_eps, q_sample,
-                        vlb_term_bits)
+                        respace_timesteps, respaced_schedule, vlb_term_bits)
 from .unet import UNet
 
 
@@ -439,6 +439,61 @@ class DDPM(BaseDiffusionModel):
             return x, None
 
         x, _ = jax.lax.scan(body, x, jnp.arange(1, num_steps))
+        return x
+
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "batch_size", "num_steps",
+                                        "guidance_scale"))
+    def generate_samples_strided(self, params: Params, rng: Array,
+                                 batch_size: int, num_steps: int = 100,
+                                 labels: Optional[Array] = None,
+                                 guidance_scale: float = 1.0) -> Array:
+        """Respaced (strided) ancestral sampler — iDDPM §4
+        (arXiv:2102.09672): run the STOCHASTIC reverse process over an
+        evenly-spaced S-step subsequence using the re-derived coarse
+        schedule (schedules.respaced_schedule), evaluating the trained
+        model at the original timesteps. The fast sampler that keeps
+        DDPM's noise injection (unlike the deterministic DDIM/DPM++/
+        Heun paths) and the intended way to sample learned-variance
+        models quickly — the learned-range interpolation is re-anchored
+        to the coarse schedule's [β̃_new, β_new] extremes, exactly the
+        paper's recipe. At S = T this reduces to :meth:`generate_samples`
+        (pinned in tests). One `lax.scan`; CFG-capable.
+        """
+        ts = respace_timesteps(self.num_timesteps, num_steps)  # validates
+        sub = respaced_schedule(self.schedule, ts)
+        b = batch_size
+        k_loop, x = self._init_noise(rng, b)
+        eps_fn = self.eps_fn(params, labels, guidance_scale)
+        raw_fn = None
+        if self.learn_sigma:
+            # variance head comes from the CONDITIONAL output (same
+            # convention as mean_var_fn); ε̂ still goes through eps_fn so
+            # CFG/parameterization handling is shared. The apply() here
+            # duplicates one of eps_fn's — identical pure calls on the
+            # same operands, so XLA CSEs them to ONE UNet eval per step.
+            def raw_fn(x, t_b):
+                return self._split_output(
+                    self.apply(params, x, t_b, y=labels))[1]
+
+        def body(carry, j):
+            x, key = carry
+            key, k_eps = jax.random.split(key)
+            t_b = jnp.full((b,), ts[j], jnp.int32)     # model's clock
+            j_b = jnp.full((b,), j, jnp.int32)         # coarse clock
+            eps = eps_fn(x, t_b)
+            noise = jax.random.normal(k_eps, x.shape, x.dtype)
+            if self.learn_sigma:
+                log_var = learned_range_log_variance(sub, raw_fn(x, t_b),
+                                                     j_b)
+                x = ddpm_posterior_step_learned(sub, x, j_b, eps, log_var,
+                                                noise)
+            else:
+                x = ddpm_posterior_step(sub, x, j_b, eps, noise)
+            return (x, key), None
+
+        js = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
+        (x, _), _ = jax.lax.scan(body, (x, k_loop), js)
         return x
 
     @functools.partial(jax.jit, static_argnames=("self", "guidance_scale"))

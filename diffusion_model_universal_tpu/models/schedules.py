@@ -88,7 +88,12 @@ def make_noise_schedule(beta_start: float = 1e-4, beta_end: float = 2e-2,
         betas = quadratic_beta_schedule(beta_start, beta_end, num_timesteps)
     else:
         raise ValueError(f"Unknown schedule type: {schedule_type}")
+    return schedule_from_betas(betas)
 
+
+def schedule_from_betas(betas: jnp.ndarray) -> NoiseSchedule:
+    """Precompute every derived buffer from a β table (shared by the
+    named schedules and by :func:`respaced_schedule`)."""
     alphas = 1.0 - betas
     alphas_cumprod = jnp.cumprod(alphas)
     alphas_cumprod_prev = jnp.concatenate(
@@ -194,6 +199,40 @@ def ddpm_posterior_step(schedule: NoiseSchedule, x: jnp.ndarray,
     sigma = jnp.sqrt(_bcast(schedule.posterior_variance, t))
     nonzero = (t > 0).astype(x.dtype)[:, None, None, None]
     return mean + nonzero * sigma * noise
+
+
+def respace_timesteps(num_timesteps: int, num_sampling_steps: int
+                      ) -> jnp.ndarray:
+    """Evenly respaced timestep subsequence for strided ancestral
+    sampling (iDDPM §4, arXiv:2102.09672): S indices from 0 to T−1
+    inclusive, strictly increasing. Static (host-side) — the result is
+    baked into the compiled sampler."""
+    import numpy as np
+    if not 2 <= num_sampling_steps <= num_timesteps:
+        raise ValueError(
+            f"num_steps must be in [2, {num_timesteps}] "
+            f"(got {num_sampling_steps})")
+    ts = np.round(np.linspace(0, num_timesteps - 1,
+                              num_sampling_steps)).astype(np.int32)
+    assert (np.diff(ts) > 0).all()  # spacing ≥ 1 ⇒ no duplicates
+    return jnp.asarray(ts)
+
+
+def respaced_schedule(schedule: NoiseSchedule,
+                      timesteps: jnp.ndarray) -> NoiseSchedule:
+    """Re-derive a coarse NoiseSchedule over a timestep subsequence.
+
+    iDDPM §4: keeping the marginals ᾱ_new[i] = ᾱ[ts[i]] fixed, the
+    implied per-step β_new[i] = 1 − ᾱ_new[i]/ᾱ_new[i−1] (with
+    ᾱ_new[−1] := 1) defines a valid shorter diffusion whose ancestral
+    reverse process can be run with the SAME trained model (evaluated at
+    the original timesteps ts[i]). All derived buffers — posterior
+    variance, the learned-range interpolation extremes — follow from
+    the new β table via :func:`schedule_from_betas`.
+    """
+    abar = schedule.alphas_cumprod[timesteps]
+    abar_prev = jnp.concatenate([jnp.ones((1,), abar.dtype), abar[:-1]])
+    return schedule_from_betas(1.0 - abar / abar_prev)
 
 
 def posterior_log_variance_clipped(schedule: NoiseSchedule) -> jnp.ndarray:

@@ -40,14 +40,16 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Restrict sampling to the first N local devices "
                         "(default: all — generation is data-parallel)")
     p.add_argument("--sampler", type=str, default="default",
-                   choices=["default", "dpm++", "heun"],
+                   choices=["default", "dpm++", "heun", "strided"],
                    help="'default' = the model family's own sampler; "
                         "'dpm++' = DPM-Solver++(2M) fast ODE sampler "
                         "(one model eval/step); 'heun' = Karras-spaced "
-                        "Heun/EDM (two evals/update) — both ddpm/ddim "
-                        "models only")
+                        "Heun/EDM (two evals/update); 'strided' = "
+                        "respaced STOCHASTIC ancestral (iDDPM §4, the "
+                        "fast path for learn_sigma models) — all "
+                        "ddpm/ddim models only")
     p.add_argument("--sampler_steps", type=int, default=20,
-                   help="Grid size for --sampler dpm++/heun")
+                   help="Grid size for --sampler dpm++/heun/strided")
     p.add_argument("--class_id", type=int, default=None,
                    help="Class label for conditional checkpoints "
                         "(model_config.num_classes > 0); all samples "
@@ -134,7 +136,21 @@ def main(argv=None) -> int:
     from ..utils.images import save_image
 
     config = resolve_interpolations(load_config(args.config))
-    model_cfg = config.get("model_config", config.get("model", {}))
+    model_cfg = dict(config.get("model_config", config.get("model", {})))
+    # Model-file checkpoints embed the config they were built with
+    # (BaseDiffusionModel.save) — overlay it so architecture keys the
+    # YAML doesn't mention (e.g. learn_sigma, num_classes,
+    # prediction_type) can't silently mismatch the saved params. YAML
+    # keys absent from the checkpoint still apply.
+    ckpt_path = Path(args.checkpoint)
+    if ckpt_path.is_file():
+        import pickle
+        try:
+            with open(ckpt_path, "rb") as f:
+                ckpt_cfg = pickle.load(f).get("config") or {}
+        except Exception:
+            ckpt_cfg = {}
+        model_cfg.update(ckpt_cfg)
     model = MODEL_REGISTRY[args.model_type](model_cfg)
     params = load_params(model, args.checkpoint, args.ema)
 
@@ -174,7 +190,8 @@ def main(argv=None) -> int:
                 else 1.0))
         elif args.sampler != "default":
             method = {"dpm++": "generate_samples_dpm",
-                      "heun": "generate_samples_heun"}[args.sampler]
+                      "heun": "generate_samples_heun",
+                      "strided": "generate_samples_strided"}[args.sampler]
             if not hasattr(model, method):
                 raise SystemExit(
                     f"--sampler {args.sampler} needs an ε-prediction model "

@@ -267,10 +267,10 @@ class DiffusionBenchmark:
             raise ValueError(
                 f"pairing must be 'unpaired' or 'reconstruction' "
                 f"(got {pairing!r})")
-        if sampler not in ("default", "dpm++", "heun"):
+        if sampler not in ("default", "dpm++", "heun", "strided"):
             raise ValueError(
-                f"sampler must be 'default', 'dpm++' or 'heun' "
-                f"(got {sampler!r})")
+                f"sampler must be 'default', 'dpm++', 'heun' or "
+                f"'strided' (got {sampler!r})")
         self.n_samples = n_samples
         self.batch_size = batch_size
         self.extractor = make_extractor(use_inception, seed)
@@ -365,7 +365,9 @@ class DiffusionBenchmark:
             with sampling_scope(self.mesh):
                 if self.sampler != "default":
                     method = {"dpm++": "generate_samples_dpm",
-                              "heun": "generate_samples_heun"}[self.sampler]
+                              "heun": "generate_samples_heun",
+                              "strided": "generate_samples_strided"
+                              }[self.sampler]
                     if not hasattr(model, method):
                         raise ValueError(
                             f"benchmark.sampler {self.sampler!r} needs an "

@@ -242,3 +242,36 @@ def test_generate_cli_heun_sampler(tmp_path):
                       "--checkpoint", str(ckpt), "--sampler", "heun",
                       "--sampler_steps", "1", "--num_samples", "2",
                       "--output_dir", str(out_dir)])
+
+
+def test_generate_cli_strided_sampler(tmp_path):
+    """--sampler strided: respaced ancestral sampling end-to-end from a
+    saved checkpoint (incl. a learn_sigma checkpoint); bad step counts
+    exit cleanly."""
+    import jax
+
+    from diffusion_model_universal_tpu.models import DDPM
+    from diffusion_model_universal_tpu.scripts import generate as gen_cli
+
+    cfg_path = _write_config(tmp_path)
+    model = DDPM({"num_timesteps": 8, "image_size": 32, "in_channels": 3,
+                  "model_channels": 8, "compute_dtype": "float32",
+                  "use_pallas": False, "remat": False, "learn_sigma": True})
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "model.ckpt"
+    model.save(str(ckpt), params)
+
+    out_dir = tmp_path / "strided"
+    rc = gen_cli.main(["--config", str(cfg_path), "--model_type", "ddpm",
+                       "--checkpoint", str(ckpt), "--sampler", "strided",
+                       "--sampler_steps", "4",
+                       "--num_samples", "2", "--output_dir", str(out_dir),
+                       "--grid_only"])
+    assert rc == 0
+    assert (out_dir / "samples_grid.png").exists()
+
+    with pytest.raises(SystemExit):
+        gen_cli.main(["--config", str(cfg_path), "--model_type", "ddpm",
+                      "--checkpoint", str(ckpt), "--sampler", "strided",
+                      "--sampler_steps", "1", "--num_samples", "2",
+                      "--output_dir", str(out_dir)])

@@ -582,3 +582,132 @@ def test_learn_sigma_unet_end_to_end():
         assert m2.learn_sigma
         s2 = m2.generate_samples(params2, jax.random.PRNGKey(3), 2)
         np.testing.assert_array_equal(np.asarray(s), np.asarray(s2))
+
+
+# -- strided (respaced) ancestral sampler (iDDPM §4) -----------------------
+
+def test_strided_reduces_to_full_chain_at_full_resolution():
+    """At S = T the respaced schedule's β table equals the original
+    (up to cumprod-ratio float noise) and the rng stream is identical,
+    so the strided sampler must reproduce generate_samples."""
+    cfg = dict(TINY, num_timesteps=16)
+    m = _AnalyticDDPM(cfg)
+    key = jax.random.PRNGKey(9)
+    full = np.asarray(m.generate_samples({}, key, 4))
+    strided = np.asarray(m.generate_samples_strided({}, key, 4,
+                                                    num_steps=16))
+    np.testing.assert_allclose(strided, full, rtol=1e-4, atol=1e-5)
+
+
+def test_strided_shape_determinism_and_validation(ddpm_and_params):
+    model, params = ddpm_and_params
+    key = jax.random.PRNGKey(12)
+    a = model.generate_samples_strided(params, key, 2, num_steps=4)
+    b = model.generate_samples_strided(params, key, 2, num_steps=4)
+    assert a.shape == model.sample_shape(2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+    with pytest.raises(ValueError, match="num_steps"):
+        model.generate_samples_strided(params, key, 2, num_steps=1)
+
+
+def test_strided_converges_to_full_chain_statistics():
+    """Fixed-β̃ striding UNDERSHOOTS the reverse variance for data with
+    spread (the iDDPM §3.1 phenomenon — β̃ is the zero-data-uncertainty
+    lower bound), so the coarse chain's terminal std is low but must
+    converge monotonically to the full chain's as S→T (measured here:
+    0.073 → 0.085 → 0.090 vs full 0.095 at S=40/100/200, T=400)."""
+    cfg = dict(TINY, num_timesteps=400)
+    m = _AnalyticDDPM(cfg)
+    key = jax.random.PRNGKey(2)
+    full = np.asarray(m.generate_samples({}, key, 8))
+    err = {S: abs(np.asarray(
+               m.generate_samples_strided({}, key, 8, num_steps=S)).std()
+               / full.std() - 1.0) for S in (40, 200)}
+    assert abs(np.asarray(m.generate_samples_strided(
+        {}, key, 8, num_steps=40)).mean() - full.mean()) < 0.02
+    assert err[200] < err[40]          # convergence toward the full chain
+    assert err[200] < 0.10
+    assert err[40] < 0.35              # coarse but sane
+
+
+def test_strided_learned_variance_recovers_full_chain_statistics():
+    """WHY learn_sigma exists (iDDPM §3.1): at S=40 the fixed-β̃ chain's
+    terminal std is ~23% narrow, because the true coarse reverse kernel
+    q(x_{tsᵢ₋₁}|x_tsᵢ) has variance β̃_new + c₀²·Var[x₀|x_t] — β̃ plus
+    the data-uncertainty term. For the analytic Gaussian model that
+    optimum is computable in closed form; feeding it through the
+    learned-range head (as the trained v* per timestep) makes the SAME
+    coarse chain exact, recovering the TRUE data spread — better even
+    than the 10×-longer fixed-β̃ chain."""
+    T, S = 400, 40
+    gamma2 = _AnalyticDDPM.DATA_VAR
+    cfg = dict(TINY, num_timesteps=T)
+    fixed = _AnalyticDDPM(cfg)
+
+    from diffusion_model_universal_tpu.models.schedules import (
+        respace_timesteps, respaced_schedule)
+    sched = fixed.schedule
+    ts = np.asarray(respace_timesteps(T, S))
+    sub = respaced_schedule(sched, jnp.asarray(ts))
+    abar = np.asarray(sched.alphas_cumprod)[ts]
+    abar_prev = np.concatenate([[1.0], abar[:-1]])
+    beta_new = np.asarray(sub.betas)
+    pv = np.asarray(sub.posterior_variance)
+    pv_clip = np.concatenate([pv[1:2], pv[1:]])
+    c0 = np.sqrt(abar_prev) * beta_new / (1.0 - abar)
+    var_x0 = gamma2 * (1.0 - abar) / (abar * gamma2 + (1.0 - abar))
+    sigma_star = pv_clip + c0 ** 2 * var_x0     # exact reverse variance
+    v_star = (2.0 * (np.log(sigma_star) - np.log(pv_clip))
+              / (np.log(beta_new) - np.log(pv_clip)) - 1.0)
+    # j=0 is the t=0 step — its noise is gated off, so its v is inert;
+    # every noise-injecting step's optimum sits inside the learnable range
+    assert v_star[1:].max() <= 1.0 + 1e-6
+    v_table = np.zeros(T, np.float32)
+    v_table[ts] = np.clip(v_star, -1.0, 1.0)
+    v_jnp = jnp.asarray(v_table)
+
+    class _OptimalVar(DDPM):
+        DATA_VAR = gamma2
+
+        def apply(self, params, x, t, train=False, rng=None, y=None):
+            ab = jnp.take(self.schedule.alphas_cumprod,
+                          t)[:, None, None, None]
+            eps = jnp.sqrt(1 - ab) * x / ((1 - ab) + self.DATA_VAR * ab)
+            v = jnp.broadcast_to(jnp.take(v_jnp, t)[:, None, None, None],
+                                 x.shape)
+            return jnp.concatenate([eps, v], axis=-1)
+
+    opt = _OptimalVar(dict(cfg, learn_sigma=True))
+    key = jax.random.PRNGKey(2)
+    true_std = np.sqrt(gamma2)  # terminal marginal of the EXACT chain
+    full = np.asarray(fixed.generate_samples({}, key, 8))
+    narrow = np.asarray(fixed.generate_samples_strided({}, key, 8,
+                                                       num_steps=S))
+    exact = np.asarray(opt.generate_samples_strided({}, key, 8,
+                                                    num_steps=S))
+    narrow_err = abs(narrow.std() / true_std - 1.0)
+    full_err = abs(full.std() / true_std - 1.0)
+    exact_err = abs(exact.std() / true_std - 1.0)
+    assert narrow_err > 0.15                    # the problem is real
+    assert exact_err < 0.03, (narrow_err, exact_err)  # ...and solved
+    # the 40-step learned-variance chain even beats the 400-step
+    # fixed-β̃ chain (which is itself slightly narrow)
+    assert exact_err < full_err, (exact_err, full_err)
+
+
+def test_strided_learned_sigma_matches_fixed_at_v_min():
+    """learn_sigma + strided: with the head pinned at v=−1 the learned
+    log-variance equals the COARSE schedule's clipped log β̃, so the
+    chain must match the fixed-variance strided chain."""
+    cfg = dict(TINY, num_timesteps=64)
+    fixed = _AnalyticDDPM(cfg)
+    learned = _LearnSigmaAnalytic(dict(cfg, learn_sigma=True))
+    key = jax.random.PRNGKey(4)
+    a = np.asarray(fixed.generate_samples_strided({}, key, 4, num_steps=8))
+    b = np.asarray(learned.generate_samples_strided({"v": -1.0}, key, 4,
+                                                    num_steps=8))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    c = np.asarray(learned.generate_samples_strided({"v": 1.0}, key, 4,
+                                                    num_steps=8))
+    assert np.abs(c - b).max() > 1e-3
