@@ -30,6 +30,7 @@ from .schedules import (_PREDICTION_TYPES, ddpm_posterior_step,
                         ddpm_posterior_step_learned,
                         learned_range_log_variance, make_dpm_solver_params,
                         make_karras_heun_params, make_noise_schedule,
+                        normal_kl, posterior_log_variance_clipped,
                         prediction_target, prediction_to_eps, q_sample,
                         respace_timesteps, respaced_schedule, vlb_term_bits)
 from .unet import UNet
@@ -544,6 +545,64 @@ class DDPM(BaseDiffusionModel):
         # Exact known pixels in the output (the last projection used t=0's
         # still-slightly-noised q-sample).
         return mask * image + (1.0 - mask) * x
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def nll_bits_per_dim(self, params: Params, x: Array,
+                         rng: Array) -> Array:
+        """Per-image negative log-likelihood bound in bits/dim — the
+        full variational bound L_vlb = Σ_t L_t + L_T (Ho et al. eq. 5;
+        the iDDPM paper's headline NLL metric, arXiv:2102.09672 Table 2).
+
+        Each L_{t−1} term (KL for t>0, discretized decoder NLL at t=0,
+        schedules.vlb_term_bits) is estimated with ONE q-sample of x_t;
+        L_T = KL(q(x_T|x₀) ‖ N(0, I)) is closed-form. Fixed-variance
+        models are scored with the variance their sampler actually uses
+        (clipped β̃, i.e. 'fixed_small'); learn_sigma models use their
+        learned log-variance — this is exactly the quantity the hybrid
+        objective's VLB half optimizes, so a trained learn_sigma model
+        scores strictly better here. One `lax.scan` over all T terms.
+
+        Args:
+            x: [B,H,W,C] images in [−1, 1] (the discretized decoder
+                assumes 256-level quantization of that range).
+        Returns:
+            [B] total bits/dim (lower is better).
+        """
+        b = x.shape[0]
+        sched = self.schedule
+        T = self.num_timesteps
+
+        def term(carry, inp):
+            total, key = carry
+            t_scalar = inp
+            key, k_q = jax.random.split(key)
+            t_b = jnp.full((b,), t_scalar, jnp.int32)
+            noise = jax.random.normal(k_q, x.shape, x.dtype)
+            x_t = q_sample(sched, x, t_b, noise)
+            out = self.apply(params, x_t, t_b)
+            pred, v = self._split_output(out)
+            eps = prediction_to_eps(sched, pred, x_t, t_b,
+                                    self.prediction_type)
+            if self.learn_sigma:
+                log_var = learned_range_log_variance(sched, v, t_b)
+            else:
+                log_var = jnp.broadcast_to(
+                    jnp.take(posterior_log_variance_clipped(sched),
+                             t_b)[:, None, None, None], x.shape)
+            total = total + vlb_term_bits(sched, x, x_t, t_b, eps, log_var)
+            return (total, key), None
+
+        (total, _), _ = jax.lax.scan(
+            term, (jnp.zeros((b,), jnp.float32), rng),
+            jnp.arange(T, dtype=jnp.int32))
+
+        # Prior term L_T: KL(q(x_T|x₀) ‖ N(0, I)) in bits/dim.
+        a_T = sched.sqrt_alphas_cumprod[-1]
+        lv_T = jnp.log(1.0 - sched.alphas_cumprod[-1])
+        kl_T = normal_kl(a_T * x, lv_T, jnp.zeros_like(x),
+                         jnp.zeros_like(x))
+        kl_T = kl_T.reshape(b, -1).mean(axis=1) / jnp.log(2.0)
+        return total + kl_T
 
     def generate_samples_with_intermediates(
             self, params: Params, rng: Array, batch_size: int,

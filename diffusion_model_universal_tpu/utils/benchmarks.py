@@ -328,13 +328,19 @@ class DiffusionBenchmark:
         ``sample_dir`` config keys, `configs/ddpm_config.yaml:76-78`)."""
         want_ssim = self.metrics.get("ssim", True)
         want_psnr = self.metrics.get("psnr", True)
+        # Optional likelihood metric (off by default — it costs a full
+        # T-term VLB scan per real batch): mean bits/dim over the test
+        # set via model.nll_bits_per_dim (iDDPM's NLL, the metric the
+        # learn_sigma hybrid objective improves).
+        want_nll = (self.metrics.get("nll", False)
+                    and hasattr(model, "nll_bits_per_dim"))
         recon = None
         if self.pairing == "reconstruction" and (want_ssim or want_psnr):
             recon = self._make_reconstruct(model, params)
         rkey = jax.random.PRNGKey(self.seed + 1)
 
         real_feats, real_batches = [], []
-        ssim_vals, psnr_vals = [], []
+        ssim_vals, psnr_vals, nll_vals = [], [], []
         for batch in test_loader:
             feats, _ = self.extractor(batch)
             real_feats.append(np.asarray(feats))
@@ -347,6 +353,10 @@ class DiffusionBenchmark:
                     ssim_vals.append(float(ssim(x0, x)))
                 if want_psnr:
                     psnr_vals.append(float(psnr(x0, x)))
+            if want_nll:
+                rkey, sub = jax.random.split(rkey)
+                nll_vals.extend(np.asarray(model.nll_bits_per_dim(
+                    params, jnp.asarray(batch), sub)).tolist())
         real_feats = np.concatenate(real_feats) if real_feats else None
 
         fake_feats, fake_logits = [], []
@@ -412,4 +422,6 @@ class DiffusionBenchmark:
             results["ssim"] = float(np.mean(ssim_vals))
         if psnr_vals:
             results["psnr"] = float(np.mean(psnr_vals))
+        if nll_vals:
+            results["nll_bits_per_dim"] = float(np.mean(nll_vals))
         return results

@@ -188,3 +188,30 @@ def test_frames_to_grid():
     # 2 samples × 3 frames → grid with 3 columns, 2 rows
     assert grid.shape[0] == 2 * 6 + 2  # 2 rows of 4px + padding
     assert grid.shape[1] == 3 * 6 + 2
+
+
+def test_benchmark_nll_metric():
+    """metrics.nll=true adds mean VLB bits/dim over the test set
+    (finite, positive); off by default; silently skipped for families
+    without nll_bits_per_dim."""
+    from diffusion_model_universal_tpu.models import DDPM
+
+    model = DDPM({"num_timesteps": 8, "image_size": 32, "in_channels": 3,
+                  "model_channels": 8, "compute_dtype": "float32",
+                  "use_pallas": False, "remat": False})
+    params = model.init_params(jax.random.PRNGKey(0))
+    loader = [jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (4, 32, 32, 3)), jnp.float32)]
+
+    bench = B.DiffusionBenchmark(
+        n_samples=4, batch_size=4,
+        metrics={"fid": False, "inception_score": False, "ssim": False,
+                 "psnr": False, "nll": True})
+    results = bench.evaluate(model, params, loader)
+    assert "nll_bits_per_dim" in results
+    assert np.isfinite(results["nll_bits_per_dim"])
+    assert results["nll_bits_per_dim"] > 0
+
+    # default metrics: no NLL (it costs a full T-term scan per batch)
+    bench2 = B.DiffusionBenchmark(n_samples=4, batch_size=4)
+    assert "nll_bits_per_dim" not in bench2.evaluate(model, params, loader)

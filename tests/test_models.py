@@ -711,3 +711,63 @@ def test_strided_learned_sigma_matches_fixed_at_v_min():
     c = np.asarray(learned.generate_samples_strided({"v": 1.0}, key, 4,
                                                     num_steps=8))
     assert np.abs(c - b).max() > 1e-3
+
+
+# -- NLL / VLB evaluation (iDDPM's headline metric) -------------------------
+
+def test_nll_vlb_tight_for_exact_reverse_model():
+    """nll_bits_per_dim must be a TIGHT bound when the reverse model is
+    exact: on quantized Gaussian data (true entropy
+    0.5·log2(2πeγ²)+log2(127.5) ≈ 5.72 bits/dim at γ=0.1) the analytic
+    ε + closed-form optimal learned variance scores within 0.1 bits/dim
+    of the truth (measured 5.74), while the same ε with fixed β̃ scores
+    ~0.9 bits/dim worse (measured 6.62) — the iDDPM Table-2 effect."""
+    T = 400
+    gamma2 = 0.01
+    cfg = dict(TINY, num_timesteps=T)
+    fixed = _AnalyticDDPM(cfg)
+    sched = fixed.schedule
+
+    abar = np.asarray(sched.alphas_cumprod)
+    abar_prev = np.concatenate([[1.0], abar[:-1]])
+    beta = np.asarray(sched.betas)
+    pv = np.asarray(sched.posterior_variance)
+    pv_clip = np.concatenate([pv[1:2], pv[1:]])
+    c0 = np.sqrt(abar_prev) * beta / (1.0 - abar)
+    var_x0 = gamma2 * (1.0 - abar) / (abar * gamma2 + (1.0 - abar))
+    sigma_star = pv_clip + c0 ** 2 * var_x0
+    v_star = (2.0 * (np.log(sigma_star) - np.log(pv_clip))
+              / (np.log(beta) - np.log(pv_clip)) - 1.0)
+    v_table = jnp.asarray(np.clip(v_star, -1.0, 1.0).astype(np.float32))
+
+    class _OptimalVar(DDPM):
+        def apply(self, params, x, t, train=False, rng=None, y=None):
+            ab = jnp.take(self.schedule.alphas_cumprod,
+                          t)[:, None, None, None]
+            eps = jnp.sqrt(1 - ab) * x / ((1 - ab) + gamma2 * ab)
+            v = jnp.broadcast_to(jnp.take(v_table, t)[:, None, None, None],
+                                 x.shape)
+            return jnp.concatenate([eps, v], axis=-1)
+
+    opt = _OptimalVar(dict(cfg, learn_sigma=True))
+    kx, kn = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (8, 16, 16, 3)) * np.sqrt(gamma2)
+    x = jnp.clip(jnp.round((x + 1) * 127.5) / 127.5 - 1, -1.0, 1.0)
+
+    true_h = 0.5 * np.log2(2 * np.pi * np.e * gamma2) + np.log2(127.5)
+    nll_opt = float(np.mean(np.asarray(opt.nll_bits_per_dim({}, x, kn))))
+    nll_fixed = float(np.mean(np.asarray(
+        fixed.nll_bits_per_dim({}, x, kn))))
+    assert abs(nll_opt - true_h) < 0.1, (nll_opt, true_h)
+    assert nll_fixed > nll_opt + 0.5, (nll_fixed, nll_opt)
+
+
+def test_nll_runs_on_real_unet(ddpm_and_params):
+    model, params = ddpm_and_params
+    x = jnp.clip(jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+                 * 0.3, -1.0, 1.0)
+    nll = np.asarray(model.nll_bits_per_dim(params, x,
+                                            jax.random.PRNGKey(2)))
+    assert nll.shape == (2,)
+    assert np.isfinite(nll).all()
+    assert (nll > 0).all()
