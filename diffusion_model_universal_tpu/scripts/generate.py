@@ -103,6 +103,28 @@ def _load_inpaint_inputs(args, model):
     return image, mask
 
 
+def resolve_model_config(config: dict, checkpoint: str) -> dict:
+    """YAML model_config with the checkpoint's embedded config overlaid.
+
+    Model-file checkpoints embed the config they were built with
+    (BaseDiffusionModel.save) — overlaying it means architecture keys
+    the YAML doesn't mention (learn_sigma, num_classes,
+    prediction_type, ...) can't silently mismatch the saved params.
+    YAML keys absent from the checkpoint still apply. Shared by the
+    generate CLI and the HTTP server."""
+    model_cfg = dict(config.get("model_config", config.get("model", {})))
+    p = Path(checkpoint)
+    if p.is_file():
+        import pickle
+        try:
+            with open(p, "rb") as f:
+                ckpt_cfg = pickle.load(f).get("config") or {}
+        except Exception:
+            ckpt_cfg = {}
+        model_cfg.update(ckpt_cfg)
+    return model_cfg
+
+
 def load_params(model, path: str, use_ema: bool):
     """Load params from either checkpoint flavor."""
     import jax
@@ -136,21 +158,7 @@ def main(argv=None) -> int:
     from ..utils.images import save_image
 
     config = resolve_interpolations(load_config(args.config))
-    model_cfg = dict(config.get("model_config", config.get("model", {})))
-    # Model-file checkpoints embed the config they were built with
-    # (BaseDiffusionModel.save) — overlay it so architecture keys the
-    # YAML doesn't mention (e.g. learn_sigma, num_classes,
-    # prediction_type) can't silently mismatch the saved params. YAML
-    # keys absent from the checkpoint still apply.
-    ckpt_path = Path(args.checkpoint)
-    if ckpt_path.is_file():
-        import pickle
-        try:
-            with open(ckpt_path, "rb") as f:
-                ckpt_cfg = pickle.load(f).get("config") or {}
-        except Exception:
-            ckpt_cfg = {}
-        model_cfg.update(ckpt_cfg)
+    model_cfg = resolve_model_config(config, args.checkpoint)
     model = MODEL_REGISTRY[args.model_type](model_cfg)
     params = load_params(model, args.checkpoint, args.ema)
 

@@ -21,7 +21,10 @@ Endpoints:
          body: {"num_samples": int ≤ serve_batch, "seed": int,
                 "format": "png" | "npy",
                 "class_id": int (conditional ckpts; CFG),
-                "guidance_scale": float (default 3.0)}
+                "guidance_scale": float (default 3.0),
+                "sampler": "default" | "dpm++" | "heun" | "strided"
+                    (fast samplers; ddpm/ddim checkpoints),
+                "sampler_steps": int (default 20)}
 
 Usage:
     python -m diffusion_model_universal_tpu.scripts.serve \
@@ -85,12 +88,19 @@ class SamplerService:
         self.generate(self.serve_batch, seed=0)
         return time.perf_counter() - t0
 
+    _FAST_SAMPLERS = {"dpm++": "generate_samples_dpm",
+                      "heun": "generate_samples_heun",
+                      "strided": "generate_samples_strided"}
+
     def generate(self, num_samples: int, seed: int,
-                 class_id=None, guidance_scale: float = 3.0):
+                 class_id=None, guidance_scale: float = 3.0,
+                 sampler: str = "default", sampler_steps: int = 20):
         """Sample ``num_samples`` images (≤ serve_batch) as float32 NHWC
         in [-1, 1]. Always dispatches a compiled serve_batch program —
         static shapes, zero recompiles per request (each distinct
-        ``guidance_scale`` compiles once, then caches)."""
+        (sampler, sampler_steps, guidance_scale) combination compiles
+        once on first use, then caches; only the warmup default is
+        pre-compiled)."""
         import jax
         import numpy as np
 
@@ -100,14 +110,31 @@ class SamplerService:
             raise ValueError(
                 f"num_samples must be in [1, {self.serve_batch}] "
                 f"(got {num_samples}); raise --serve_batch to serve more")
+        if sampler != "default" and sampler not in self._FAST_SAMPLERS:
+            raise ValueError(
+                f"sampler must be one of "
+                f"{('default', *self._FAST_SAMPLERS)} (got {sampler!r})")
+        labels = None
+        if class_id is not None:
+            if not hasattr(self.model, "make_class_labels"):
+                raise ValueError(
+                    "class_id unsupported for this model family")
+            labels = self.model.make_class_labels(class_id,
+                                                  self.serve_batch)
         key = mesh_replicated(self.mesh, jax.random.PRNGKey(seed))
         with sampling_scope(self.mesh):
-            if class_id is not None:
-                if not hasattr(self.model, "make_class_labels"):
+            if sampler != "default":
+                method = self._FAST_SAMPLERS[sampler]
+                if not hasattr(self.model, method):
                     raise ValueError(
-                        "class_id unsupported for this model family")
-                labels = self.model.make_class_labels(class_id,
-                                                      self.serve_batch)
+                        f"sampler {sampler!r} needs an ε-prediction "
+                        "model (ddpm/ddim)")
+                batch = getattr(self.model, method)(
+                    self.params, key, self.serve_batch,
+                    num_steps=int(sampler_steps), labels=labels,
+                    guidance_scale=(float(guidance_scale)
+                                    if labels is not None else 1.0))
+            elif labels is not None:
                 batch = self.model.generate_samples_cfg(
                     self.params, key, self.serve_batch, labels,
                     guidance_scale=float(guidance_scale))
@@ -160,7 +187,9 @@ def make_handler(service: SamplerService, model_type: str):
                         f"format must be 'png' or 'npy' (got {fmt!r})")
                 samples = service.generate(
                     num, seed, class_id=req.get("class_id"),
-                    guidance_scale=req.get("guidance_scale", 3.0))
+                    guidance_scale=req.get("guidance_scale", 3.0),
+                    sampler=req.get("sampler", "default"),
+                    sampler_steps=req.get("sampler_steps", 20))
             except (ValueError, TypeError) as e:
                 # TypeError covers malformed field types (null num_samples,
                 # string guidance_scale, ...) — client errors, not 500s.
@@ -189,10 +218,10 @@ def make_server(args) -> ThreadingHTTPServer:
     from ..models import MODEL_REGISTRY
     from ..parallel.mesh import local_devices, make_mesh
     from ..utils.config import load_config, resolve_interpolations
-    from .generate import load_params
+    from .generate import load_params, resolve_model_config
 
     config = resolve_interpolations(load_config(args.config))
-    model_cfg = config.get("model_config", config.get("model", {}))
+    model_cfg = resolve_model_config(config, args.checkpoint)
     model = MODEL_REGISTRY[args.model_type](model_cfg)
     params = load_params(model, args.checkpoint, args.ema)
 

@@ -189,3 +189,27 @@ def test_serve_bench_script(tmp_path):
         assert results[phase]["p50_ms"] > 0, (phase, results)
     assert results["concurrent"]["errors"] == 0
     assert results["sequential_batch_npy"]["images_per_sec"] > 0
+
+
+def test_generate_fast_samplers(server):
+    """POST /generate with a fast sampler: dpm++/strided produce valid
+    .npy batches; unknown sampler names and non-int steps are 400s."""
+    outs = {}
+    for sampler in ("dpm++", "strided"):
+        with _post(server, {"num_samples": 2, "seed": 3, "format": "npy",
+                            "sampler": sampler, "sampler_steps": 4}) as r:
+            arr = np.load(io.BytesIO(r.read()))
+        assert arr.shape == (2, 32, 32, 3)
+        assert np.isfinite(arr).all()
+        outs[sampler] = arr
+    # distinct samplers, same seed → different trajectories
+    assert np.abs(outs["dpm++"] - outs["strided"]).max() > 1e-4
+
+    for body in ({"num_samples": 2, "sampler": "euler"},
+                 {"num_samples": 2, "sampler": "dpm++",
+                  "sampler_steps": "many"},
+                 {"num_samples": 2, "sampler": "dpm++",
+                  "sampler_steps": 1}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, body)
+        assert e.value.code == 400
