@@ -20,6 +20,19 @@ materializes an im2col buffer for K-chaining; either route costs
 Usage:
     python scripts/exp_conv_kernel.py --check          # CPU interpret parity
     python scripts/exp_conv_kernel.py --bench          # TPU timing vs XLA
+
+MEASURED CONCLUSION (v5e, 2026-08-19, B=2048 32² 128→128): the
+"fused unit" probe (silu(x·a+b) → conv, the GN-apply producer fusion
+hypothesized to reclaim part of the step's 24.8 ms elementwise band)
+has ZERO headroom: the XLA baseline unit runs 3.70-3.77 ms — within
+noise of the BARE conv (3.68-3.76 ms across runs) — i.e. XLA already
+folds the per-sample affine+SiLU producer into the convolution at no
+cost. The elementwise band in the step trace is therefore GN *stats*
+reductions, skip-adds, Adam/EMA and backward-only traffic, none of
+which this fusion touches. (The Pallas fused variant additionally
+fails to lower on this backend — Mosaic rejects per-sample broadcasts
+(Bb,1,C)·(Bb,HW,C) with a vector.broadcast verification error — but
+with the XLA unit tying the bare conv it could at best tie.)
 """
 
 from __future__ import annotations
@@ -72,6 +85,72 @@ def _kernel(x_ref, w_ref, o_ref):
                 preferred_element_type=jnp.float32)
             acc = g if acc is None else acc + g
     o_ref[...] = acc.reshape(bb, h, w, -1).astype(o_ref.dtype)
+
+
+def _kernel_fused(x_ref, a_ref, b_ref, w_ref, o_ref):
+    """GN-apply + SiLU PROLOGUE fused into the tap9 conv.
+
+    Takes the RAW activation plus the per-(sample, channel) affine that
+    `ops/group_norm.py` folds the GroupNorm statistics into
+    (y = silu(x·a + b)), computes y once in VMEM/registers, then feeds
+    the 9 taps from it. XLA cannot fuse an elementwise producer INTO a
+    convolution operand, so its best schedule materializes y through HBM
+    (one write by the fused affine+SiLU kernel, one read by the conv) —
+    exactly the "elementwise band" of the step trace (BENCH_NOTES r3:
+    24.8 ms of a 156 ms step). This kernel deletes that round trip.
+    """
+    x = x_ref[...]                               # (Bb, H, W, C)
+    bb_, h, w, c = x.shape
+    # Apply in the input dtype — matches `group_norm_silu_xla`'s fused
+    # bf16 apply pass (stats are folded into a/b upstream in f32). The
+    # broadcast runs in (Bb, H·W, C) shape: Mosaic lowers a length-1
+    # middle-dim (sublane) broadcast, but rejects the 4D (Bb,1,1,C) form.
+    x2 = x.reshape(bb_, h * w, c)
+    z = x2 * a_ref[...].reshape(bb_, 1, c) + b_ref[...].reshape(bb_, 1, c)
+    y = (z * jax.nn.sigmoid(z)).reshape(bb_, h, w, c)
+    cols = {dx: _shift(y, dx, axis=2) for dx in (-1, 0, 1)}
+    acc = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            t = 3 * (dy + 1) + (dx + 1)
+            g = jax.lax.dot_general(
+                _shift(cols[dx], dy, axis=1).reshape(bb_ * h * w, c),
+                w_ref[t], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = g if acc is None else acc + g
+    o_ref[...] = acc.reshape(bb_, h, w, -1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def gn_silu_conv3x3_pallas(x, a, b, w, block_b: int = 4,
+                           interpret: bool = False):
+    """silu(x·a+b) → 3x3 SAME conv, one Pallas kernel. a, b: (B, C)."""
+    bsz, h, ww, c = x.shape
+    cout = w.shape[-1]
+    return pl.pallas_call(
+        _kernel_fused,
+        grid=(bsz // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, h, ww, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((block_b, 1, 1, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((block_b, 1, 1, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((9, c, cout), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_b, h, ww, cout),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, ww, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x, a.reshape(bsz, 1, 1, c), b.reshape(bsz, 1, 1, c),
+      w.reshape(9, c, cout))
+
+
+def gn_silu_conv3x3_xla(x, a, b, w):
+    """XLA baseline for the fused unit: affine+SiLU then conv (the
+    intermediate y makes an HBM round trip between the two kernels)."""
+    z = x * a[:, None, None, :] + b[:, None, None, :]
+    return conv3x3_xla((z * jax.nn.sigmoid(z)).astype(x.dtype), w)
 
 
 def _kernel_k3(x_ref, w_ref, o_ref):
@@ -170,6 +249,15 @@ def check(interpret: bool) -> None:
         rel = err / max(np.abs(want).max(), 1e-6)
         print(f"{variant}: max abs err {err:.3e}  (rel {rel:.3e})")
         assert rel < 2e-2, f"parity failed ({variant})"
+    ka, kb = jax.random.split(kw)
+    a = jax.random.normal(ka, (4, 128), jnp.bfloat16) * 0.3 + 1.0
+    bb = jax.random.normal(kb, (4, 128), jnp.bfloat16) * 0.1
+    want = np.asarray(gn_silu_conv3x3_xla(x, a, bb, w), np.float32)
+    got = np.asarray(gn_silu_conv3x3_pallas(x, a, bb, w, block_b=2,
+                                            interpret=interpret), np.float32)
+    rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+    print(f"fused-gn-silu: rel {rel:.3e}")
+    assert rel < 2e-2, "parity failed (fused)"
     print("parity OK")
 
 
@@ -223,6 +311,29 @@ def bench(block_b: int, shape=(32, 128, 128)) -> None:
             print(f"  {variant}-b{bb}/XLA = {e/e_xla:.3f}", flush=True)
         except Exception as exc:  # VMEM overflow etc. — record and go on
             print(f"  {variant}-b{bb}: FAILED "
+                  f"{type(exc).__name__}: {str(exc)[:200]}", flush=True)
+
+    # ---- fused GN-apply+SiLU → conv unit (needs cin == cout to chain) --
+    if c != cout:
+        return
+    print("fused unit: silu(x*a+b) -> conv   (the elementwise-band fusion)",
+          flush=True)
+    ka, kb = jax.random.split(kw)
+    av = jax.random.normal(ka, (b, c), jnp.bfloat16) * 0.05 + 1.0
+    bv = jax.random.normal(kb, (b, c), jnp.bfloat16) * 0.05
+    e_xla_f = timed(lambda y, wt: gn_silu_conv3x3_xla(y, av, bv, wt),
+                    "XLA-unit")
+    for bb in (base, 2 * base):
+        if b % bb:
+            continue
+        try:
+            e = timed(functools.partial(
+                lambda y, wt, _bb: gn_silu_conv3x3_pallas(
+                    y, av, bv, wt, block_b=_bb), _bb=bb),
+                f"fused-b{bb}")
+            print(f"  fused-b{bb}/XLA-unit = {e/e_xla_f:.3f}", flush=True)
+        except Exception as exc:
+            print(f"  fused-b{bb}: FAILED "
                   f"{type(exc).__name__}: {str(exc)[:200]}", flush=True)
 
 
