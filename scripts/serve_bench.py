@@ -172,6 +172,19 @@ def main() -> int:
         "images_per_sec": round(len(lat) * args.serve_batch / wall, 1),
     }
 
+    # Phase 4: per-request fast-sampler override (the production latency
+    # lever — POST {"sampler": "dpm++", "sampler_steps": N} swaps the
+    # DDIM-50 chain for a 20-eval DPM-Solver++(2M) program per request).
+    lat = []
+    for i in range(args.requests):
+        t0 = time.perf_counter()
+        _post(base, {"num_samples": 1, "seed": i,
+                     "sampler": "dpm++", "sampler_steps": 20})
+        lat.append(time.perf_counter() - t0)
+        if i == 0:   # first request pays the dpm++ program's compile
+            results["dpmpp_20_compile_s"] = round(lat.pop(), 1)
+    results["sequential_1_png_dpmpp_20"] = _stats(lat)
+
     srv.shutdown()
     srv.server_close()
 
