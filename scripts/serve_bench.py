@@ -181,7 +181,9 @@ def main() -> int:
         _post(base, {"num_samples": 1, "seed": i,
                      "sampler": "dpm++", "sampler_steps": 20})
         lat.append(time.perf_counter() - t0)
-        if i == 0:   # first request pays the dpm++ program's compile
+        if i == 0 and args.requests > 1:
+            # First request pays the dpm++ program's one-time compile —
+            # report it separately so the steady-state stats are honest.
             results["dpmpp_20_compile_s"] = round(lat.pop(), 1)
     results["sequential_1_png_dpmpp_20"] = _stats(lat)
 

@@ -164,9 +164,10 @@ def test_conditional_server_cfg(tmp_path):
 
 
 def test_serve_bench_script(tmp_path):
-    """scripts/serve_bench.py end-to-end on the CPU mesh: all three
-    phases (sequential PNG, sequential npy, concurrent clients) complete
-    and the JSON summary has finite latency stats."""
+    """scripts/serve_bench.py end-to-end on the CPU mesh: all four
+    phases (sequential PNG, sequential npy, concurrent clients,
+    per-request dpm++ fast-sampler override) complete and the JSON
+    summary has finite latency stats."""
     import runpy
     import sys
     from pathlib import Path
@@ -185,10 +186,12 @@ def test_serve_bench_script(tmp_path):
     finally:
         sys.argv = argv
     results = json.loads(out.read_text())
-    for phase in ("sequential_1_png", "sequential_batch_npy", "concurrent"):
+    for phase in ("sequential_1_png", "sequential_batch_npy", "concurrent",
+                  "sequential_1_png_dpmpp_20"):
         assert results[phase]["p50_ms"] > 0, (phase, results)
     assert results["concurrent"]["errors"] == 0
     assert results["sequential_batch_npy"]["images_per_sec"] > 0
+    assert results["dpmpp_20_compile_s"] >= 0
 
 
 def test_generate_fast_samplers(server):
