@@ -131,10 +131,10 @@ def main() -> int:
     else:
         # bench_samples divisible by bench_batch: a ragged tail batch
         # would compile a SECOND full 1000-step sampler program.
-        cfg = CONFIG.format(channels=128, epochs=150, batch=512,
+        cfg = CONFIG.format(channels=128, epochs=100, batch=512,
                             scan_steps=8, val_interval=500,
                             ckpt_interval=25, num_samples=50000,
-                            bench_samples=2048, bench_batch=256,
+                            bench_samples=1024, bench_batch=256,
                             out_dir=out)
     cfg_path = out / "config.yaml"
     if not (args.resume and cfg_path.exists()):
