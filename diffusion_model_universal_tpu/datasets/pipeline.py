@@ -97,6 +97,77 @@ def apply_static_transforms(images: np.ndarray,
 # Device-side stochastic augmentation (compiled once per transform list)
 # --------------------------------------------------------------------------
 
+def _rgb_to_hsv(rgb: Array) -> Array:
+    """[..., 3] RGB in [0,1] → HSV with hue in [0,1) (torchvision's
+    `_rgb2hsv` convention, used by ColorJitter's hue stage)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    delta = maxc - minc
+    v = maxc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.where(delta > 0, delta, 1.0)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv: Array) -> Array:
+    """Inverse of :func:`_rgb_to_hsv` ([..., 3], hue in [0,1))."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    h6 = h * 6.0
+    i = jnp.floor(h6)
+    f = h6 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    sector = i.astype(jnp.int32) % 6
+    # [6, ...] candidate stack indexed by sector (static gather).
+    r = jnp.stack([v, q, p, p, t, v])
+    g = jnp.stack([t, v, v, q, p, p])
+    b = jnp.stack([p, p, t, v, v, q])
+    one_hot = jax.nn.one_hot(sector, 6, dtype=hsv.dtype)
+    one_hot = jnp.moveaxis(one_hot, -1, 0)
+    return jnp.stack([jnp.sum(one_hot * r, axis=0),
+                      jnp.sum(one_hot * g, axis=0),
+                      jnp.sum(one_hot * b, axis=0)], axis=-1)
+
+
+def _rotate_batch(x: Array, degrees: Array, order: int) -> Array:
+    """Rotate each NHWC image by its own angle (degrees, CCW) about the
+    image center, same output size, zeros outside — torchvision
+    `T.RandomRotation(expand=False, fill=0)` semantics
+    (reference `datasets/dataset_utils.py:40-42`). ``order`` 0 = nearest
+    (torchvision's default), 1 = bilinear. Static shapes throughout
+    (one gather per image via map_coordinates under vmap)."""
+    h, w = x.shape[1:3]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+
+    def one(img, ang):
+        t = ang * (jnp.pi / 180.0)
+        cos, sin = jnp.cos(t), jnp.sin(t)
+        # Inverse mapping: source coords for each output pixel. Positive
+        # angle = counter-clockwise AS VIEWED (y-down image coords) —
+        # torchvision's documented convention: a pixel right of center
+        # moves to a smaller row index.
+        ys = cos * (yy - cy) + sin * (xx - cx) + cy
+        xs = -sin * (yy - cy) + cos * (xx - cx) + cx
+
+        def ch(im2d):
+            return jax.scipy.ndimage.map_coordinates(
+                im2d, [ys, xs], order=order, mode="constant", cval=0.0)
+
+        return jax.vmap(ch, in_axes=-1, out_axes=-1)(img)
+
+    return jax.vmap(one)(x, degrees)
+
+
 def make_augment_fn(transforms: Sequence[Dict[str, Any]],
                     mean: Sequence[float], std: Sequence[float],
                     train: bool) -> Callable[[Array, Array], Array]:
@@ -118,6 +189,11 @@ def make_augment_fn(transforms: Sequence[Dict[str, Any]],
             continue
         if name in _TRAIN_ONLY and not train:
             continue
+        if name == "color_jitter":
+            hue = float(t.get("hue", 0.0))
+            if not 0.0 <= hue <= 0.5:
+                raise ValueError(
+                    f"color_jitter hue must be in [0, 0.5], got {hue}")
         steps.append((name, t))
 
     mean_a = jnp.asarray(mean, jnp.float32)
@@ -138,16 +214,19 @@ def make_augment_fn(transforms: Sequence[Dict[str, Any]],
                 flip = jax.random.bernoulli(sub, p, (b, 1, 1, 1))
                 x = jnp.where(flip, x[:, ::-1, :, :], x)
             elif name == "random_rotation":
-                # Right-angle subset: ±degrees snapped to k·90°. Arbitrary
-                # angles resample off the pixel grid; for the 0.5-normalized
-                # datasets the reference ships this is the augmentation that
-                # keeps MXU-friendly static shapes.
-                k = jax.random.randint(sub, (b,), 0, 4)
-                rots = jnp.stack([x, jnp.rot90(x, 1, (1, 2)),
-                                  jnp.rot90(x, 2, (1, 2)),
-                                  jnp.rot90(x, 3, (1, 2))], axis=1)
-                x = jnp.take_along_axis(
-                    rots, k[:, None, None, None, None], axis=1)[:, 0]
+                # Arbitrary-angle rotation, torchvision RandomRotation
+                # semantics (reference `dataset_utils.py:40-42`): angle
+                # per sample ~ U[-degrees, degrees] (or U[min, max] for a
+                # 2-list), same output size, zero fill, nearest resample
+                # by default (`interpolation: bilinear` opts into order-1).
+                deg = t.get("degrees", 10)
+                lo, hi = ((float(deg[0]), float(deg[1]))
+                          if isinstance(deg, (list, tuple))
+                          else (-float(deg), float(deg)))
+                order = {"nearest": 0, "bilinear": 1}[
+                    str(t.get("interpolation", "nearest")).lower()]
+                angles = jax.random.uniform(sub, (b,), minval=lo, maxval=hi)
+                x = _rotate_batch(x, angles, order)
             elif name == "random_crop":
                 size = int(t.get("size", x.shape[1]))
                 pad = int(t.get("padding", 0))
@@ -164,27 +243,49 @@ def make_augment_fn(transforms: Sequence[Dict[str, Any]],
 
                 x = jax.vmap(crop_one)(x, offs)
             elif name == "color_jitter":
-                kb, kc, ks = jax.random.split(sub, 3)
+                # Torchvision ColorJitter stages (reference
+                # `dataset_utils.py:45-49`): multiplicative brightness/
+                # contrast/saturation factors ~ U[max(0,1-v), 1+v], hue
+                # shift ~ U[-hue, hue] applied in HSV space, each stage
+                # clamped to [0,1]. Torchvision randomizes the stage
+                # ORDER per call; this applies a fixed b→c→s→h order
+                # (the factor distributions are identical).
+                kb, kc, ks, kh = jax.random.split(sub, 4)
                 bright = float(t.get("brightness", 0.0))
                 contrast = float(t.get("contrast", 0.0))
                 sat = float(t.get("saturation", 0.0))
+                hue = float(t.get("hue", 0.0))
+                if not 0.0 <= hue <= 0.5:
+                    raise ValueError(
+                        f"color_jitter hue must be in [0, 0.5], got {hue}")
+                # Luma weights: torchvision's rgb_to_grayscale, used by
+                # both its contrast and saturation stages.
+                luma = jnp.asarray([0.2989, 0.587, 0.114], jnp.float32)
                 if bright:
                     f = jax.random.uniform(kb, (b, 1, 1, 1),
-                                           minval=1 - bright,
+                                           minval=max(0.0, 1 - bright),
                                            maxval=1 + bright)
-                    x = x * f
+                    x = jnp.clip(x * f, 0.0, 1.0)
                 if contrast:
                     f = jax.random.uniform(kc, (b, 1, 1, 1),
-                                           minval=1 - contrast,
+                                           minval=max(0.0, 1 - contrast),
                                            maxval=1 + contrast)
-                    m = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-                    x = (x - m) * f + m
+                    gray = (jnp.tensordot(x, luma, axes=(-1, 0))
+                            if x.shape[-1] == 3 else x[..., 0])
+                    m = jnp.mean(gray, axis=(1, 2), keepdims=True)[..., None]
+                    x = jnp.clip((x - m) * f + m, 0.0, 1.0)
                 if sat and x.shape[-1] == 3:
                     f = jax.random.uniform(ks, (b, 1, 1, 1),
-                                           minval=1 - sat, maxval=1 + sat)
-                    gray = jnp.mean(x, axis=-1, keepdims=True)
-                    x = (x - gray) * f + gray
-                x = jnp.clip(x, 0.0, 1.0)
+                                           minval=max(0.0, 1 - sat),
+                                           maxval=1 + sat)
+                    gray = jnp.tensordot(x, luma, axes=(-1, 0))[..., None]
+                    x = jnp.clip((x - gray) * f + gray, 0.0, 1.0)
+                if hue and x.shape[-1] == 3:
+                    shift = jax.random.uniform(kh, (b, 1, 1),
+                                               minval=-hue, maxval=hue)
+                    hsv = _rgb_to_hsv(x)
+                    hsv = hsv.at[..., 0].set((hsv[..., 0] + shift) % 1.0)
+                    x = jnp.clip(_hsv_to_rgb(hsv), 0.0, 1.0)
         if has_normalize:
             x = (x - mean_a) / std_a
         return x
