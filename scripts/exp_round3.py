@@ -1,0 +1,282 @@
+"""Round-3 step-time experiments (isolated micro-benches on the TPU).
+
+Each phase times fwd+bwd of ONE suspicious region of the flagship train
+step (identified by scripts/trace_report.py at B=2048) against candidate
+reformulations, using the chained/perturbed-rep methodology of bench.py.
+
+    python scripts/exp_round3.py upsample    # ConvTranspose lowerings
+    python scripts/exp_round3.py boundary    # initial/output conv bwd
+    python scripts/exp_round3.py concat      # skip-concat vs split convs
+    python scripts/exp_round3.py rng         # threefry vs rbg noise block
+
+Trace evidence (B=2048, 156.4 ms/step): initial_conv wgrad 2.84 ms,
+output_conv dgrad+wgrad 2.4+1.55 ms, up4 ConvTranspose bwd reverse
+1.64 ms, up4 concat-bwd split 1.5 ms.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B = int(os.environ.get("EXP_BATCH", 2048))
+
+
+def timeit(fn, *args, n=20, warmup=3):
+    import jax
+    import numpy as np
+    for _ in range(warmup):
+        out = fn(*args)
+    _ = jax.tree_util.tree_map(np.asarray, out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    _ = jax.tree_util.tree_map(np.asarray, out)
+    return (time.perf_counter() - t0) / n
+
+
+def grad_norm_fn(f):
+    """Scalarize f through sum → jit grad wrt all args."""
+    import jax
+    import jax.numpy as jnp
+
+    def loss(*a):
+        return jnp.sum(f(*a).astype(jnp.float32) ** 2)
+
+    return jax.jit(jax.grad(loss, argnums=tuple(range(len_args(f)))))
+
+
+def len_args(f):
+    import inspect
+    return len(inspect.signature(f).parameters)
+
+
+def subpixel_conv_transpose(x, w):
+    """4x4 stride-2 SAME transpose conv as 4 parity-phase 2x2 convs +
+    pixel interleave. out[2m+d] couples x only through kernel taps of
+    the opposite parity: even rows (d=0) read taps {3,1} as a 2-tap
+    conv with pad (1,0); odd rows (d=1) read taps {2,0} with pad (0,1)
+    (same per axis). Every sub-conv is a plain stride-1 conv — no
+    lhs_dilation, so XLA's transposed-conv backward (which reverses the
+    upstream gradient, a full-activation copy) never appears."""
+    import jax
+    import jax.numpy as jnp
+
+    phases = []
+    pads = {0: (1, 0), 1: (0, 1)}
+    for di in (0, 1):
+        for dj in (0, 1):
+            wk = jnp.flip(w[(1 - di)::2, (1 - dj)::2], axis=(0, 1))
+            y = jax.lax.conv_general_dilated(
+                x, wk, (1, 1), (pads[di], pads[dj]),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            phases.append(y)
+    p = jnp.stack(phases, axis=3)            # [B,H,W,4,C]
+    b, h, wd, _, c = p.shape
+    p = p.reshape(b, h, wd, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return p.reshape(b, h * 2, wd * 2, c)
+
+
+def phase_upsample():
+    """up4's Upsample: [B,16,16,128] -> [B,32,32,128] 4x4 s2 transpose."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, 16, 16, 128), jnp.bfloat16) * 0.1
+
+    mod = nn.ConvTranspose(128, (4, 4), strides=(2, 2), padding="SAME",
+                           dtype=jnp.bfloat16, use_bias=False)
+    params = mod.init(jax.random.fold_in(key, 1), x)
+    w = params["params"]["kernel"].astype(jnp.bfloat16)
+
+    def flax_ct(x, w):
+        return mod.apply({"params": {"kernel": w}}, x)
+
+    fa = jax.jit(flax_ct)
+    fb = jax.jit(subpixel_conv_transpose)
+    ya, yb = fa(x, w), fb(x, w)
+    print("shapes:", ya.shape, yb.shape)
+    err = float(jnp.max(jnp.abs(ya.astype(jnp.float32)
+                                - yb.astype(jnp.float32))))
+    print(f"subpixel max |diff| vs flax ConvTranspose: {err:.6f}")
+
+    ga = grad_norm_fn(flax_ct)
+    gb = grad_norm_fn(subpixel_conv_transpose)
+    for name, f, g in (("flax_ct", fa, ga), ("subpixel", fb, gb)):
+        tf = timeit(f, x, w)
+        tg = timeit(g, x, w)
+        print(f"{name:14s} fwd {tf*1e3:7.3f} ms   fwd+bwd {tg*1e3:7.3f} ms")
+
+
+def phase_boundary():
+    """initial_conv (3->128) wgrad and output_conv (128->3) bwd."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    x3 = jax.random.normal(key, (B, 32, 32, 3), jnp.float32) * 0.5
+    w_in = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 3, 128),
+                             jnp.bfloat16) * 0.1
+    xh = jax.random.normal(jax.random.fold_in(key, 2), (B, 32, 32, 128),
+                           jnp.bfloat16) * 0.1
+    w_out = jax.random.normal(jax.random.fold_in(key, 3), (3, 3, 128, 3),
+                              jnp.bfloat16) * 0.05
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv_in(x, w):
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w, (1, 1), "SAME",
+            dimension_numbers=dn)
+
+    def conv_out(x, w):
+        return jax.lax.conv_general_dilated(x, w, (1, 1), "SAME",
+                                            dimension_numbers=dn)
+
+    def im2col(x):
+        # [B,H,W,C] -> [B,H,W,9C] of 3x3 SAME taps.
+        pads = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        cols = [pads[:, i:i + x.shape[1], j:j + x.shape[2], :]
+                for i in range(3) for j in range(3)]
+        return jnp.concatenate(cols, axis=-1)
+
+    def wgrad_in_gemm(x, dz):
+        cols = im2col(x.astype(jnp.bfloat16))       # [B,32,32,27]
+        return jax.lax.dot_general(
+            cols.reshape(-1, 27), dz.reshape(-1, 128),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [27, 128]
+
+    def dgrad_out_gemm(dy, w):
+        # dx = sum_taps dy_shifted @ W_flip: im2col dy (3ch -> 27 cols).
+        cols = im2col(dy)                            # [B,32,32,27]
+        wf = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)  # [3,3,3out,128in]
+        return jax.lax.dot_general(
+            cols.reshape(-1, 27), wf.reshape(27, 128),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(B, 32, 32, 128)
+
+    # --- XLA autodiff baselines ---------------------------------------
+    def loss_in(x, w):
+        return jnp.sum(conv_in(x, w).astype(jnp.float32) ** 2)
+
+    gi = jax.jit(jax.grad(loss_in, argnums=1))
+
+    def loss_out(x, w):
+        return jnp.sum(conv_out(x, w).astype(jnp.float32) ** 2)
+
+    go = jax.jit(jax.grad(loss_out, argnums=(0, 1)))
+
+    dz = jax.jit(lambda x, w: 2 * conv_in(x, w).astype(jnp.bfloat16))(
+        x3, w_in)
+    dy3 = jax.jit(lambda x, w: 2 * conv_out(x, w))(xh, w_out)
+
+    wg = jax.jit(wgrad_in_gemm)
+    dg = jax.jit(dgrad_out_gemm)
+
+    # numerics
+    ref_wg = gi(x3, w_in)
+    got_wg = wg(x3, dz).reshape(3, 3, 3, 128)
+    print("wgrad_in  max|diff|:",
+          float(jnp.max(jnp.abs(ref_wg.astype(jnp.float32)
+                                - got_wg.astype(jnp.float32)))))
+    ref_dx = go(xh, w_out)[0]
+    got_dx = dg(dy3, w_out)
+    print("dgrad_out max|diff|:",
+          float(jnp.max(jnp.abs(ref_dx.astype(jnp.float32)
+                                - got_dx.astype(jnp.float32)))))
+
+    print(f"initial wgrad   XLA  {timeit(gi, x3, w_in)*1e3:7.3f} ms")
+    print(f"initial wgrad   GEMM {timeit(wg, x3, dz)*1e3:7.3f} ms")
+    print(f"output fwd           {timeit(jax.jit(conv_out), xh, w_out)*1e3:7.3f} ms")
+    print(f"output dgrad+wgrad XLA {timeit(go, xh, w_out)*1e3:7.3f} ms")
+    print(f"output dgrad    GEMM {timeit(dg, dy3, w_out)*1e3:7.3f} ms")
+
+
+def phase_concat():
+    """up4 res0 entry: GN+SiLU+conv1 on concat(h, skip) vs split convs."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_model_universal_tpu.ops.group_norm import \
+        group_norm_silu_xla
+
+    key = jax.random.PRNGKey(0)
+    h = jax.random.normal(key, (B, 16, 16, 128), jnp.bfloat16) * 0.1
+    sk = jax.random.normal(jax.random.fold_in(key, 1),
+                           (B, 16, 16, 128), jnp.bfloat16) * 0.1
+    w = jax.random.normal(jax.random.fold_in(key, 2), (3, 3, 256, 128),
+                          jnp.bfloat16) * 0.02
+    scale = jnp.ones((256,), jnp.float32)
+    bias = jnp.zeros((256,), jnp.float32)
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def fused_concat(h, sk, w, scale, bias):
+        x = jnp.concatenate([h, sk], axis=-1)
+        y = group_norm_silu_xla(x, scale, bias, 32)
+        return jax.lax.conv_general_dilated(
+            y.astype(jnp.bfloat16), w, (1, 1), "SAME",
+            dimension_numbers=dn)
+
+    def split_convs(h, sk, w, scale, bias):
+        # 256ch/32groups = 8 per group; 128 % 8 == 0 -> the two halves own
+        # disjoint groups, so GN(concat) == concat(GN(h), GN(sk)) with
+        # sliced affine params; the conv distributes over the concat.
+        yh = group_norm_silu_xla(h, scale[:128], bias[:128], 16)
+        ys = group_norm_silu_xla(sk, scale[128:], bias[128:], 16)
+        a = jax.lax.conv_general_dilated(
+            yh.astype(jnp.bfloat16), w[:, :, :128], (1, 1), "SAME",
+            dimension_numbers=dn)
+        b = jax.lax.conv_general_dilated(
+            ys.astype(jnp.bfloat16), w[:, :, 128:], (1, 1), "SAME",
+            dimension_numbers=dn)
+        return a + b
+
+    fa, fb = jax.jit(fused_concat), jax.jit(split_convs)
+    err = float(jnp.max(jnp.abs(fa(h, sk, w, scale, bias).astype(jnp.float32)
+                                - fb(h, sk, w, scale, bias)
+                                .astype(jnp.float32))))
+    print(f"split max |diff|: {err:.6f}")
+    ga, gb = grad_norm_fn(fused_concat), grad_norm_fn(split_convs)
+    for name, f, g in (("concat", fa, ga), ("split", fb, gb)):
+        print(f"{name:8s} fwd {timeit(f, h, sk, w, scale, bias)*1e3:7.3f} ms"
+              f"   fwd+bwd {timeit(g, h, sk, w, scale, bias)*1e3:7.3f} ms")
+
+
+def phase_rng():
+    """The per-step random block: t ~ randint, eps ~ normal [B,32,32,3]."""
+    import jax
+    import jax.numpy as jnp
+
+    def block(key):
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (B,), 0, 1000)
+        eps = jax.random.normal(kn, (B, 32, 32, 3), jnp.float32)
+        return t.astype(jnp.float32).sum() + eps.sum()
+
+    kt = jax.random.PRNGKey(0)
+    kr = jax.random.key(0, impl="rbg")
+    f = jax.jit(block)
+    print(f"threefry  {timeit(f, kt)*1e3:7.3f} ms")
+    print(f"rbg       {timeit(f, kr)*1e3:7.3f} ms")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("phase", choices=["upsample", "boundary", "concat",
+                                      "rng", "all"])
+    args = ap.parse_args()
+    from diffusion_model_universal_tpu.utils.cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
+    phases = (["upsample", "boundary", "concat", "rng"]
+              if args.phase == "all" else [args.phase])
+    for p in phases:
+        print(f"=== {p} (B={B}) ===")
+        globals()[f"phase_{p}"]()

@@ -131,10 +131,14 @@ def main() -> int:
     else:
         # bench_samples divisible by bench_batch: a ragged tail batch
         # would compile a SECOND full 1000-step sampler program.
-        cfg = CONFIG.format(channels=128, epochs=100, batch=512,
+        # Keep these in sync with BENCH_NOTES.md's "Fidelity trajectory"
+        # section: the published run is 150 epochs with FID over 2048
+        # samples — changing the defaults makes reruns incomparable to
+        # the documented trajectory (round-2 ADVICE, medium).
+        cfg = CONFIG.format(channels=128, epochs=150, batch=512,
                             scan_steps=8, val_interval=500,
                             ckpt_interval=25, num_samples=50000,
-                            bench_samples=1024, bench_batch=256,
+                            bench_samples=2048, bench_batch=256,
                             out_dir=out)
     cfg_path = out / "config.yaml"
     if not (args.resume and cfg_path.exists()):

@@ -158,6 +158,7 @@ def main() -> None:
     results["wall_seconds"] = round(time.perf_counter() - t0, 1)
     with open(os.path.join(args.out, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
+        f.write("\n")
     print(json.dumps(results))
 
 
