@@ -92,6 +92,7 @@ class DDPM(BaseDiffusionModel):
             # conv_bias=True restores the reference parameterization for
             # imported reference checkpoints (scripts/convert_weights.py).
             conv_bias=cfg.get("conv_bias", False),
+            split_skip_convs=cfg.get("split_skip_convs", True),
         )
         self.loss_fn = DiffusionLoss(
             loss_type=cfg.get("loss_type", "mse"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...ops.group_norm import group_norm_silu, resolve_num_groups
@@ -33,6 +34,13 @@ class GroupNormSiLU(nn.Module):
     ``time_bias`` ([B, C]) is folded into the normalization pass for free
     (stat adjustment from the channel sums + elementwise fold) — callers
     should pass it here rather than materializing ``x + bias`` first.
+
+    ``skip``: normalize the VIRTUAL concatenation ``[x, skip]`` without
+    materializing it, returning the two normalized halves. Exact when no
+    group straddles the boundary (each half a multiple of the concat's
+    group size — caller checks); GroupNorm statistics are per-group, so
+    disjoint groups normalize independently. Parameters are declared at
+    the concat width either way, keeping one checkpoint schema.
     """
 
     num_groups: int = 32
@@ -40,15 +48,74 @@ class GroupNormSiLU(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: Array,
-                 time_bias: Optional[Array] = None) -> Array:
-        c = x.shape[-1]
+    def __call__(self, x: Array, time_bias: Optional[Array] = None,
+                 skip: Optional[Array] = None):
+        c = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         groups = resolve_num_groups(c, self.num_groups)
-        return group_norm_silu(x, scale, bias, groups, time_bias=time_bias,
-                               apply_silu=self.apply_silu,
-                               use_pallas=self.use_pallas)
+        if skip is None:
+            return group_norm_silu(x, scale, bias, groups,
+                                   time_bias=time_bias,
+                                   apply_silu=self.apply_silu,
+                                   use_pallas=self.use_pallas)
+        ch = x.shape[-1]
+        gs = c // groups
+        assert ch % gs == 0, (ch, gs)  # caller guarantees alignment
+        tb_h = time_bias[:, :ch] if time_bias is not None else None
+        tb_s = time_bias[:, ch:] if time_bias is not None else None
+        yh = group_norm_silu(x, scale[:ch], bias[:ch], ch // gs,
+                             time_bias=tb_h, apply_silu=self.apply_silu,
+                             use_pallas=self.use_pallas)
+        ys = group_norm_silu(skip, scale[ch:], bias[ch:],
+                             (c - ch) // gs, time_bias=tb_s,
+                             apply_silu=self.apply_silu,
+                             use_pallas=self.use_pallas)
+        return yh, ys
+
+
+class SplitConv(nn.Module):
+    """Conv over a virtual channel concatenation ``[x, skip]``.
+
+    Declares ONE kernel at the concat width (identical param tree to the
+    ``nn.Conv`` it replaces) but computes ``conv(x, k[..., :ch, :]) +
+    conv(skip, k[..., ch:, :])`` — algebraically the same contraction,
+    reassociated. The win is in the BACKWARD: the gradient of a
+    materialized concat is a full-activation split (1.5 ms at the
+    flagship's up4, trace round 3); with two convs the dgrads flow to
+    h and skip directly. ``skip=None`` degrades to the plain conv.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    dtype: jnp.dtype = jnp.float32
+    use_bias: bool = False
+    kernel_init: object = None
+
+    @nn.compact
+    def __call__(self, x: Array, skip: Optional[Array] = None) -> Array:
+        cin = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init or nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features))
+        dn = ("NHWC", "HWIO", "NHWC")
+        pad = ((kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2))
+
+        def conv(v, k):
+            return jax.lax.conv_general_dilated(
+                v.astype(self.dtype), k.astype(self.dtype), (1, 1), pad,
+                dimension_numbers=dn)
+
+        if skip is None:
+            y = conv(x, kernel)
+        else:
+            ch = x.shape[-1]
+            y = conv(x, kernel[:, :, :ch]) + conv(skip, kernel[:, :, ch:])
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
 
 
 class ResidualBlock(nn.Module):
@@ -73,8 +140,21 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, t_emb: Array,
-                 deterministic: bool = True) -> Array:
-        in_channels = x.shape[-1]
+                 deterministic: bool = True,
+                 skip: Optional[Array] = None) -> Array:
+        # ``skip``: a second input treated as channel-concatenated AFTER x
+        # (the UNet's skip connection) — consumed through norm1/conv1/
+        # shortcut WITHOUT materializing the concat when no GN group
+        # straddles the boundary (see SplitConv/GroupNormSiLU). Falls
+        # back to a real concat when groups straddle.
+        if skip is not None:
+            ctot = x.shape[-1] + skip.shape[-1]
+            gs = ctot // resolve_num_groups(ctot, self.num_groups)
+            if x.shape[-1] % gs != 0:
+                x = jnp.concatenate([x, skip], axis=-1)
+                skip = None
+        in_channels = x.shape[-1] + (skip.shape[-1] if skip is not None
+                                     else 0)
         # use_bias=False: every conv here feeds (through at most a residual
         # add) into a GroupNorm. A pre-norm per-channel bias is NOT exactly
         # absorbed by GN's β (it shifts group statistics when it varies
@@ -84,14 +164,21 @@ class ResidualBlock(nn.Module):
         # (each bias costs a full-activation reduce_sum in the backward).
         # Reference-weight porting is unaffected — the param trees already
         # differ (NHWC flax vs NCHW torch).
-        conv = lambda name, init=None: nn.Conv(
-            self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
+        conv = lambda name, init=None: SplitConv(
+            self.out_channels, (3, 3), dtype=self.dtype,
             use_bias=self.conv_bias,
             kernel_init=init or nn.initializers.lecun_normal(), name=name)
 
-        h = GroupNormSiLU(self.num_groups, use_pallas=self.use_pallas,
-                          name="norm1")(x)
-        h = conv("conv1")(h.astype(self.dtype))
+        if skip is None:
+            h = GroupNormSiLU(self.num_groups, use_pallas=self.use_pallas,
+                              name="norm1")(x)
+            h = conv("conv1")(h.astype(self.dtype))
+        else:
+            yh, ys = GroupNormSiLU(self.num_groups,
+                                   use_pallas=self.use_pallas,
+                                   name="norm1")(x, skip=skip)
+            h = conv("conv1")(yh.astype(self.dtype),
+                              ys.astype(self.dtype))
 
         # Time embedding: zero-init projection → starts as a no-op. The
         # [B, C] channel bias is folded INTO norm2's fused pass (stats
@@ -109,9 +196,12 @@ class ResidualBlock(nn.Module):
         h = conv("conv2", init=nn.initializers.zeros)(h.astype(self.dtype))
 
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        use_bias=self.conv_bias,
-                        name="shortcut")(x.astype(self.dtype))
+            x = SplitConv(self.out_channels, (1, 1), dtype=self.dtype,
+                          use_bias=self.conv_bias,
+                          name="shortcut")(
+                              x, skip)
+        elif skip is not None:  # pragma: no cover - concat preserves C
+            x = jnp.concatenate([x, skip], axis=-1)
         return h + x
 
 
@@ -189,12 +279,14 @@ class ConvUpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, t_emb: Array,
-                 deterministic: bool = True) -> Array:
+                 deterministic: bool = True,
+                 skip: Optional[Array] = None) -> Array:
         for i in range(self.num_layers):
             x = ResidualBlock(self.out_channels, self.num_groups,
                               self.dropout, self.dtype, self.use_pallas,
                               self.conv_bias,
-                              name=f"res{i}")(x, t_emb, deterministic)
+                              name=f"res{i}")(x, t_emb, deterministic,
+                                              skip if i == 0 else None)
         return Upsample(self.out_channels, self.dtype, self.conv_bias,
                         name="up")(x)
 
@@ -246,12 +338,14 @@ class AttentionUpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, t_emb: Array,
-                 deterministic: bool = True) -> Array:
+                 deterministic: bool = True,
+                 skip: Optional[Array] = None) -> Array:
         for i in range(self.num_layers):
             x = ResidualBlock(self.out_channels, self.num_groups,
                               self.dropout, self.dtype, self.use_pallas,
                               self.conv_bias,
-                              name=f"res{i}")(x, t_emb, deterministic)
+                              name=f"res{i}")(x, t_emb, deterministic,
+                                              skip if i == 0 else None)
             x = SelfAttentionBlock(self.out_channels, self.num_att_heads,
                                    self.num_groups, self.dtype,
                                    self.use_pallas, name=f"attn{i}")(x)

@@ -110,6 +110,20 @@ class DiffusionTrainer:
         self.handle_preemption = bool(
             self.training_cfg.get("handle_preemption", True))
         self.preempted = False
+        # Training RNG implementation: "threefry" (default — JAX's
+        # reproducible-forever counter PRNG) or "rbg" (XLA's ThreeFry-
+        # seeded Philox-like RBG): generating the per-step [B,H,W,C]
+        # ε batch is ~3× cheaper on TPU with rbg (scripts/exp_round3.py
+        # `noise` phase), worth ~2-3 ms/step at the flagship B=2048.
+        # rbg has weaker split/fold_in independence guarantees (JAX
+        # docs) — statistically fine for diffusion training noise, but
+        # keys are only reproducible within one impl, so it is a knob,
+        # not the default. Model INIT always uses threefry (param
+        # reproducibility is a checkpoint-compat surface).
+        self.rng_impl = str(self.training_cfg.get("rng_impl", "threefry"))
+        if self.rng_impl not in ("threefry", "rbg"):
+            raise ValueError("training.rng_impl must be 'threefry' or "
+                             f"'rbg' (got {self.rng_impl!r})")
         # EMA storage dtype. Default f32: at decay 0.9999 the per-step EMA
         # increment is ~1e-4·(p−e), far below bf16's ~3 decimal digits —
         # bf16 storage would round most updates to zero. Offered as a knob
@@ -253,9 +267,10 @@ class DiffusionTrainer:
         # back as a [K] array; grad-norm metrics are a single-step-path
         # feature (logging-cadence data).
         seed = self.seed
+        make_base_key = self._base_key
 
         def train_step_scan(state: TrainState, batches, step0):
-            base_key = jax.random.PRNGKey(seed)
+            base_key = make_base_key(seed)
 
             def body(carry, xs):
                 s, i = carry
@@ -421,9 +436,15 @@ class DiffusionTrainer:
                 self._mask_sharding, np.asarray(mask))
         return jax.device_put(mask, self._mask_sharding)
 
+    def _base_key(self, seed):
+        """Training-stream base key under the configured rng_impl."""
+        if self.rng_impl == "threefry":
+            return jax.random.PRNGKey(seed)
+        return jax.random.key(seed, impl=self.rng_impl)
+
     def _step_key(self, step: int, salt: int = 0):
         return jax.random.fold_in(
-            jax.random.PRNGKey(self.seed + 17 * salt), step)
+            self._base_key(self.seed + 17 * salt), step)
 
     def step(self, batch, key=None) -> Dict[str, Any]:
         """Run ONE training step, owning the donated-state handoff.
@@ -789,7 +810,7 @@ class DiffusionTrainer:
         would not.
         """
         data_size = self.mesh.shape.get("data", 1)
-        base_key = jax.random.PRNGKey(self.seed + 17 * salt)
+        base_key = self._base_key(self.seed + 17 * salt)
         total, count, offset = 0.0, 0.0, 0
         for batch in loader:
             n = self._batch_count(batch)

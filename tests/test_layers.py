@@ -168,3 +168,54 @@ def test_bf16_compute_path():
     assert k.dtype == jnp.float32
     out = m.apply(params, x, t_emb)
     assert np.all(np.isfinite(np.asarray(out, dtype=np.float32)))
+
+
+# ---------------------------------------------------------------------------
+# Split-skip (virtual concat) path: ResidualBlock(x, ..., skip=s) must match
+# ResidualBlock(concat([x, s])) on the SAME params — the UNet's
+# split_skip_convs optimization reassociates the contraction, it must not
+# change math or checkpoint schema.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ch,cs,groups,exact", [
+    (16, 16, 32, False),   # aligned halves → split GN/conv path
+    (96, 32, 32, False),   # unequal aligned halves (gs=4)
+    (6, 10, 4, True),      # 6 % gs(=4) != 0 → straddle fallback (real concat)
+])
+def test_residual_block_skip_matches_concat(ch, cs, groups, exact):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, ch)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(2, 8, 8, cs)), jnp.float32)
+    t_emb = jnp.asarray(rng.normal(size=(2, 64)), jnp.float32)
+    m = ResidualBlock(out_channels=24, num_groups=groups)
+    params = m.init(jax.random.PRNGKey(0), x, t_emb, True, s)
+    cat = jnp.concatenate([x, s], axis=-1)
+    # Identical param tree: init via the skip path serves the concat path.
+    out_skip = m.apply(params, x, t_emb, True, s)
+    out_cat = m.apply(params, cat, t_emb)
+    tol = 0 if exact else 1e-5
+    np.testing.assert_allclose(np.asarray(out_skip), np.asarray(out_cat),
+                               atol=tol, rtol=tol)
+
+
+def test_unet_split_skip_convs_matches_concat():
+    """Whole-UNet equivalence: split_skip_convs=True/False share one param
+    tree (same init) and agree to f32 reassociation tolerance."""
+    from diffusion_model_universal_tpu.models.unet import UNet
+
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 32, 32, 3)),
+                    jnp.float32)
+    t = jnp.asarray([7], jnp.int32)
+    on = UNet(model_channels=32, split_skip_convs=True)
+    off = UNet(model_channels=32, split_skip_convs=False)
+    p_on = on.init(jax.random.PRNGKey(0), x, t)
+    p_off = off.init(jax.random.PRNGKey(0), x, t)
+    flat_on = jax.tree_util.tree_leaves_with_path(p_on)
+    flat_off = jax.tree_util.tree_leaves_with_path(p_off)
+    assert [k for k, _ in flat_on] == [k for k, _ in flat_off]
+    for (k, a), (_, b) in zip(flat_on, flat_off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(k))
+    y_on = on.apply(p_on, x, t)
+    y_off = off.apply(p_on, x, t)
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                               atol=2e-5, rtol=2e-5)

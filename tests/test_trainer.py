@@ -656,3 +656,38 @@ def test_grad_accum_activation_memory_stays_at_micro_batch(tmp_path):
         mem_a.temp_size_in_bytes, mem_b.temp_size_in_bytes)
     tr_a.cleanup()
     tr_b.cleanup()
+
+
+def test_rng_impl_rbg_trains_and_is_deterministic(tmp_path):
+    """training.rng_impl="rbg" (TPU-fast XLA RBG noise generation): one
+    scan chunk + one eval run finite losses, and the stream is
+    deterministic per (seed, step) — two trainers built with the same
+    seed produce bit-identical scan losses."""
+    def build(sub):
+        cfg = _tiny_config(tmp_path / sub,
+                           training={"rng_impl": "rbg", "scan_steps": 2})
+        train, val, test = get_dataset(cfg)
+        return DDPMTrainer(DDPM(cfg["model_config"]), train, val, test, cfg)
+
+    tr_a = build("a")
+    it = iter(tr_a.train_loader)
+    chunk = [next(it), next(it)]
+    state_a, losses_a = tr_a._scan_chunk(tr_a.state, chunk, 0)
+    tr_a.state = state_a
+    val_a = tr_a.validate()
+    assert np.all(np.isfinite(np.asarray(losses_a)))
+    assert np.isfinite(val_a)
+
+    tr_b = build("b")
+    _, losses_b = tr_b._scan_chunk(tr_b.state, chunk, 0)
+    np.testing.assert_array_equal(np.asarray(losses_a),
+                                  np.asarray(losses_b))
+    tr_a.cleanup()
+    tr_b.cleanup()
+
+
+def test_rng_impl_rejects_unknown(tmp_path):
+    cfg = _tiny_config(tmp_path, training={"rng_impl": "philox"})
+    train, val, test = get_dataset(cfg)
+    with pytest.raises(ValueError, match="rng_impl"):
+        DDPMTrainer(DDPM(cfg["model_config"]), train, val, test, cfg)
