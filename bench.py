@@ -54,13 +54,21 @@ def peak_flops_for(device) -> float:
 
 
 def _flops_of(jitted, *args) -> float:
+    return _cost_of(jitted, *args)[0]
+
+
+def _cost_of(jitted, *args) -> tuple:
+    """(flops, bytes accessed) of the compiled program, via XLA cost
+    analysis. Bytes counts each fusion's operands+outputs once (inner
+    temporaries stay in VMEM), so it approximates demanded HBM traffic."""
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0))
+        return (float(cost.get("flops", 0.0)),
+                float(cost.get("bytes accessed", 0.0)))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
 
 
 def bench_sampler(peak: float) -> None:
@@ -210,6 +218,76 @@ def measure_conv_efficiency(peak: float, batch_size: int,
     return weighted / total_share if total_share else 0.0
 
 
+def bench_kernels() -> None:
+    """Real-hardware Pallas kernel gate (VERDICT r2 #7).
+
+    Compiles-and-runs the two shipped Pallas kernels (fused GroupNorm
+    fwd+bwd via its custom_vjp, fused MHA) ON THE TPU — not the
+    interpreter CI uses — and checks numerics against the XLA
+    formulations, so Mosaic lowering regressions surface in the driver
+    artifact instead of ad-hoc scripts. Emits value=1.0 on pass, 0.0
+    (plus an ``error`` field) on any compile/run/numerics failure.
+    Skipped silently off-TPU (the driver bench always runs on TPU).
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return
+    err_txt, max_err = "", -1.0
+    try:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from diffusion_model_universal_tpu.ops.attention import (
+            mha_pallas, mha_xla)
+        from diffusion_model_universal_tpu.ops.group_norm import (
+            group_norm_silu_fused, group_norm_silu_xla)
+
+        key = jax.random.PRNGKey(7)
+        kx, kt, kd, kq, kk, kv = jax.random.split(key, 6)
+        x = jax.random.normal(kx, (8, 16, 16, 128), jnp.float32)
+        tb = jax.random.normal(kt, (8, 128), jnp.float32) * 0.1
+        scale = jnp.ones((128,), jnp.float32) * 1.1
+        bias = jnp.zeros((128,), jnp.float32) + 0.05
+        dy = jax.random.normal(kd, x.shape, jnp.float32)
+
+        def loss(f):
+            return lambda x, s, b, t: jnp.vdot(f(x, s, b, 32, t), dy)
+
+        gp = jax.jit(jax.grad(loss(group_norm_silu_fused),
+                              argnums=(0, 1, 2, 3)))(x, scale, bias, tb)
+        gx = jax.jit(jax.grad(loss(group_norm_silu_xla),
+                              argnums=(0, 1, 2, 3)))(x, scale, bias, tb)
+        yp = group_norm_silu_fused(x, scale, bias, 32, tb)
+        yx = group_norm_silu_xla(x, scale, bias, 32, tb)
+        errs = [float(jnp.max(jnp.abs(yp - yx)))]
+        for a, b in zip(gp, gx):
+            scale_ref = float(jnp.max(jnp.abs(b))) or 1.0
+            errs.append(float(jnp.max(jnp.abs(a - b))) / scale_ref)
+
+        q = jax.random.normal(kq, (8, 4, 256, 32), jnp.float32) * 0.3
+        k = jax.random.normal(kk, q.shape, jnp.float32) * 0.3
+        v = jax.random.normal(kv, q.shape, jnp.float32)
+        ap = np.asarray(jax.jit(mha_pallas)(q, k, v))
+        ax = np.asarray(jax.jit(mha_xla)(q, k, v))
+        errs.append(float(np.max(np.abs(ap - ax))))
+        max_err = max(errs)
+        ok = max_err < 2e-4
+    except Exception as e:  # Mosaic compile/run failure IS the signal
+        ok = False
+        err_txt = f"{type(e).__name__}: {e}"[:300]
+    rec = {
+        "metric": "Pallas kernels on-device (GN fwd+bwd + MHA vs XLA)",
+        "value": 1.0 if ok else 0.0,
+        "unit": "pass",
+        "vs_baseline": 1.0 if ok else 0.0,
+        "max_rel_err": round(max_err, 8),
+    }
+    if err_txt:
+        rec["error"] = err_txt
+    print(json.dumps(rec), flush=True)
+
+
 def bench_training(peak: float) -> None:
     import jax
     import jax.numpy as jnp
@@ -226,6 +304,19 @@ def bench_training(peak: float) -> None:
     # optimum on v5e. Env overrides exist for sweeps.
     batch_size = int(os.environ.get("DMU_BENCH_BATCH", 2048))
     scan_k = int(os.environ.get("DMU_BENCH_SCANK", 4))
+    # Low-precision state + RNG knobs (r3): bf16 Adam-mu storage and
+    # XLA's RBG generator for the per-step noise batch — measured on v5e
+    # (BENCH_NOTES round-3 A/B table); env overrides exist for sweeps.
+    # EMA stays f32 deliberately: at ema_decay 0.9999 the per-step EMA
+    # increment (~1e-4 relative) is below bf16's half-ulp, so bf16 EMA
+    # storage silently freezes the average (trainer.py documents the
+    # same constraint) — a throughput win from a broken config would be
+    # dishonest. The achievable roofline below prices the optimizer
+    # floor from the ACTUAL configured dtypes so the knobs don't
+    # inflate vs_baseline.
+    mu_dtype = os.environ.get("DMU_BENCH_MU_DTYPE", "bfloat16")
+    ema_dtype = os.environ.get("DMU_BENCH_EMA_DTYPE", "float32")
+    rng_impl = os.environ.get("DMU_BENCH_RNG", "rbg")
     model = DDPM({
         "num_timesteps": 1000, "image_size": 32, "in_channels": 3,
         "model_channels": 128, "remat": False,
@@ -236,6 +327,8 @@ def bench_training(peak: float) -> None:
         "training": {"num_epochs": 1, "batch_size": batch_size,
                      "learning_rate": 2e-4, "scan_steps": scan_k,
                      "scheduler": {"type": "cosine"},
+                     "adam_mu_dtype": mu_dtype, "ema_dtype": ema_dtype,
+                     "rng_impl": rng_impl,
                      "val_interval": 0, "sample_interval": 0,
                      "checkpoint_interval": 0, "ema_decay": 0.9999},
         "logging": {"use_wandb": False, "use_tensorboard": False,
@@ -255,8 +348,8 @@ def bench_training(peak: float) -> None:
     # (XLA cost analysis counts a lax.scan body once, so the K-step scan
     # program reports 1/K of its real FLOPs; the single-step program is
     # the honest per-step count).
-    step_flops = _flops_of(trainer.train_step, state, chunk[0],
-                           trainer._step_key(0))
+    step_flops, step_bytes = _cost_of(trainer.train_step, state, chunk[0],
+                                      trainer._step_key(0))
 
     # Warmup (compile + let the remote compile service settle) then
     # steady-state timing.
@@ -297,7 +390,13 @@ def bench_training(peak: float) -> None:
         n_params = model.param_count(trainer.state.params)
         hbm_bw = 819e9  # v5e spec
         t_conv = step_flops / (peak * conv_eff)
-        t_opt = n_params * 4 * 8 / hbm_bw
+        # Optimizer-state passes priced at their ACTUAL storage widths:
+        # params r+w (f32) + Adam nu r+w (f32) + Adam mu r+w + EMA r+w
+        # (configured dtypes) — so flipping the bf16 knobs tightens the
+        # floor instead of flattering vs_baseline.
+        mu_b = 2 if mu_dtype == "bfloat16" else 4
+        ema_b = 2 if ema_dtype == "bfloat16" else 4
+        t_opt = n_params * 2 * (4 + 4 + mu_b + ema_b) / hbm_bw
         achievable_mfu = step_flops / (t_conv + t_opt) / peak
         vs_baseline = raw_mfu / achievable_mfu
 
@@ -310,6 +409,14 @@ def bench_training(peak: float) -> None:
         "raw_mfu": round(raw_mfu, 4),
         "achievable_mfu": round(achievable_mfu, 4),
         "conv_efficiency_measured": round(conv_eff, 4),
+        # Auditable bandwidth picture (informational, not in the
+        # roofline): demanded HBM bytes of ONE step (XLA cost analysis)
+        # and the time those bytes need at spec bandwidth. Together
+        # with t_conv they bound the step from the memory side — see
+        # BENCH_NOTES round-3 "speed-of-light accounting".
+        "step_bytes_gb": round(step_bytes / 1e9, 2),
+        "hbm_floor_ms": round(step_bytes / 819e9 * 1e3, 2),
+        "step_ms_measured": round(dt / n_chunks / scan_k * 1e3, 2),
     }), flush=True)
     trainer.cleanup()
 
@@ -357,6 +464,8 @@ def main() -> None:
 
     if os.environ.get("DMU_BENCH_SAMPLER", "1") != "0":
         bench_sampler(peak)
+    if os.environ.get("DMU_BENCH_KERNELS", "1") != "0":
+        bench_kernels()
     bench_training(peak)  # headline metric LAST
 
 

@@ -21,7 +21,12 @@ tunes (`/root/reference/models/score_based.py:209-247`):
 * a final Tweedie denoise (`final_denoise: true`, Technique 5).
 
 Writes <out>/samples_ema.png (8×8 grid from EMA params) + a JSON summary;
-the grid must show the dataset's blob/gradient structure.
+the grid must show the dataset's blob/gradient structure. With
+``--fid_samples N`` (default 1024) it additionally trains an EQUAL-BUDGET
+DDPM (same data/epochs/batch/width) and reports seeded random-feature
+extractor FID for both families over the same held-out real draw —
+directly comparable to each other (VERDICT r2 #5), not to the
+literature (zero-egress env, see utils/benchmarks.py).
 
     python scripts/score_demo.py [--epochs 125] [--out /tmp/dmu_score_demo]
 """
@@ -46,6 +51,9 @@ def main() -> None:
     ap.add_argument("--num_scales", type=int, default=300)
     ap.add_argument("--langevin_steps", type=int, default=5)
     ap.add_argument("--beta", type=float, default=0.2)
+    ap.add_argument("--fid_samples", type=int, default=1024,
+                    help="extractor-FID sample count (0 disables the FID "
+                         "phase and the equal-budget DDPM comparison)")
     ap.add_argument("--out", type=str, default="/tmp/dmu_score_demo")
     args = ap.parse_args()
 
@@ -129,6 +137,70 @@ def main() -> None:
 
     data_smooth = smoothness(flat.reshape(-1, 32, 32, 3)[:64])
     sample_smooth = smoothness(np.clip(grid, -1, 1))
+
+    # -- extractor-FID vs an equal-budget DDPM (VERDICT r2 #5) ------------
+    # Same data, same epochs/batch/width, same seeded extractor and the
+    # same held-out real draw, so the two numbers are directly comparable
+    # (to each other; the random-feature extractor is ordering-only, not
+    # literature-comparable — zero-egress env).
+    fid_score = fid_ddpm = None
+    ddpm_seconds = 0.0
+    if args.fid_samples:
+        import jax.numpy as jnp
+
+        from diffusion_model_universal_tpu.models import DDPM
+        from diffusion_model_universal_tpu.trainers import DDPMTrainer
+        from diffusion_model_universal_tpu.utils.benchmarks import (
+            FeatureExtractor, frechet_distance)
+
+        extractor = FeatureExtractor(seed=0)
+        real = make_synthetic(num_samples=args.fid_samples, image_size=32,
+                              seed=7).astype(np.float32) / 127.5 - 1.0
+
+        def feats_of(imgs):
+            out = []
+            for i in range(0, len(imgs), 256):
+                f, _ = extractor(jnp.asarray(imgs[i:i + 256]))
+                out.append(np.asarray(f))
+            return np.concatenate(out)
+
+        def gen_feats(sample_fn, params):
+            chunks, b = [], 128
+            for i in range(0, args.fid_samples, b):
+                key_i = jax.random.fold_in(jax.random.PRNGKey(1000), i)
+                x = np.asarray(sample_fn(params, key_i, b))
+                chunks.append(np.clip(x, -1.0, 1.0))
+            return feats_of(np.concatenate(chunks)[:args.fid_samples])
+
+        real_f = feats_of(real)
+        t2 = time.time()
+        fid_score = frechet_distance(
+            gen_feats(model.generate_samples, trainer.state.ema_params),
+            real_f)
+        print(f"score FID(random-feat, {args.fid_samples}) = "
+              f"{fid_score:.4f}  ({time.time() - t2:.0f}s sampling)",
+              flush=True)
+
+        ddpm = DDPM({"num_timesteps": 1000, "image_size": 32,
+                     "in_channels": 3, "model_channels": args.channels,
+                     "remat": False})
+        dcfg = {**cfg, "model_name": "DDPM-BASELINE",
+                "output": {"output_dir": os.path.join(args.out, "ddpm")}}
+        dtrainer = DDPMTrainer(ddpm, train, val, test, dcfg)
+        t3 = time.time()
+        dtrainer.train(args.epochs)
+        ddpm_seconds = time.time() - t3
+        fid_ddpm = frechet_distance(
+            gen_feats(ddpm.generate_samples, dtrainer.state.ema_params),
+            real_f)
+        print(f"equal-budget DDPM FID = {fid_ddpm:.4f}  "
+              f"(train {ddpm_seconds:.0f}s)", flush=True)
+        dgrid = np.asarray(ddpm.generate_samples(
+            dtrainer.state.ema_params, jax.random.PRNGKey(123), 64))
+        save_image(dgrid, os.path.join(args.out, "samples_ddpm.png"),
+                   nrow=8)
+        dtrainer.cleanup()
+
     summary = {
         "sigma_max": round(sigma_max, 2),
         "first_epoch_loss": round(float(first), 4),
@@ -140,8 +212,16 @@ def main() -> None:
         "sample_smoothness": round(sample_smooth, 4),
         "grid": path,
     }
+    if fid_score is not None:
+        summary.update({
+            "fid_samples": args.fid_samples,
+            "fid_score_random_feat": round(fid_score, 4),
+            "fid_ddpm_equal_budget": round(fid_ddpm, 4),
+            "ddpm_train_seconds": round(ddpm_seconds, 1),
+        })
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+        f.write("\n")
     print(json.dumps(summary), flush=True)
     trainer.cleanup()
 
