@@ -120,6 +120,11 @@ def bench_sampler(peak: float) -> None:
             "value": round(dt, 3),
             "unit": "seconds",
             "vs_baseline": round(mfu, 4),
+            # BASELINE metric-2 cost model (VERDICT r2 #2): per-chip
+            # sampler throughput, comparable across batch sizes — the
+            # batch sweep lives in scripts/exp_sampler_batch.py and
+            # BENCH_NOTES round 3.
+            "samples_per_sec_chip": round(batch / dt, 2),
         }), flush=True)
 
 

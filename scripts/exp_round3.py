@@ -267,15 +267,113 @@ def phase_rng():
     print(f"rbg       {timeit(f, kr)*1e3:7.3f} ms")
 
 
+def phase_blockremat():
+    """Remat policy as a BYTE-cutting lever (r3 session-2 finding).
+
+    The flagship step is memory-bound: XLA cost analysis prices it at
+    96.7 GB demanded HBM traffic (118 ms floor) vs 157.9 ms measured
+    (BENCH_NOTES round-3). With remat OFF, every GN+SiLU output is
+    stored for the backward — a full [B,H,W,C] write plus a backward
+    read per activation. `jax.checkpoint` with
+    ``save_only_these_names('convout')`` keeps CONV outputs (the
+    expensive-to-recompute tensors) and recomputes the cheap GN/SiLU
+    elementwise chains in the backward from them — trading a second
+    read of x (already resident) for the store+load of y. On a
+    bytes-bound step that is a straight win if the recompute fuses.
+
+    Times a 4-block ResidualBlock chain fwd+bwd at the flagship shape
+    under: none / save-convout / full-remat.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.ad_checkpoint import checkpoint_name
+
+    from diffusion_model_universal_tpu.ops.group_norm import \
+        group_norm_silu_xla
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, 32, 32, 128), jnp.bfloat16) * 0.1
+    temb = jax.random.normal(jax.random.fold_in(key, 1), (B, 128),
+                             jnp.float32) * 0.1
+    n_blocks = 4
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def make_params(k):
+        ws = []
+        for i in range(n_blocks):
+            k1, k2, k = jax.random.split(jax.random.fold_in(k, i), 3)
+            ws.append({
+                "w1": jax.random.normal(k1, (3, 3, 128, 128),
+                                        jnp.bfloat16) * 0.03,
+                "w2": jax.random.normal(k2, (3, 3, 128, 128),
+                                        jnp.bfloat16) * 0.03,
+                "s1": jnp.ones((128,), jnp.float32),
+                "b1": jnp.zeros((128,), jnp.float32),
+                "s2": jnp.ones((128,), jnp.float32),
+                "b2": jnp.zeros((128,), jnp.float32),
+            })
+        return ws
+
+    params = make_params(jax.random.fold_in(key, 7))
+
+    def block(x, p, temb):
+        y1 = group_norm_silu_xla(x, p["s1"], p["b1"], 32)
+        h = jax.lax.conv_general_dilated(
+            y1.astype(jnp.bfloat16), p["w1"], (1, 1), "SAME",
+            dimension_numbers=dn)
+        h = checkpoint_name(h, "convout")
+        y2 = group_norm_silu_xla(h, p["s2"], p["b2"], 32,
+                                 time_bias=temb)
+        out = jax.lax.conv_general_dilated(
+            y2.astype(jnp.bfloat16), p["w2"], (1, 1), "SAME",
+            dimension_numbers=dn)
+        return checkpoint_name(out, "convout") + x
+
+    policies = {
+        "none": None,
+        "save_convout": jax.checkpoint_policies.save_only_these_names(
+            "convout"),
+        "full_remat": jax.checkpoint_policies.nothing_saveable,
+    }
+
+    for name, pol in policies.items():
+        blk = block if pol is None else jax.checkpoint(
+            block, policy=pol, static_argnums=())
+
+        def chain(x, params, temb):
+            for p in params:
+                x = blk(x, p, temb)
+            return x
+
+        def loss(x, params, temb):
+            return jnp.sum(chain(x, params, temb).astype(jnp.float32) ** 2)
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        flops, nbytes = 0.0, 0.0
+        try:
+            cost = g.lower(x, params, temb).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            nbytes = float(cost.get("bytes accessed", 0.0))
+        except Exception:
+            pass
+        t = timeit(g, x, params, temb, n=10)
+        print(f"{name:14s} fwd+bwd {t*1e3:8.3f} ms   "
+              f"{nbytes/1e9:6.2f} GB   {flops/1e12:6.2f} TFLOP")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("phase", choices=["upsample", "boundary", "concat",
-                                      "rng", "all"])
+                                      "rng", "blockremat", "all"])
     args = ap.parse_args()
     from diffusion_model_universal_tpu.utils.cache import \
         enable_compilation_cache
     enable_compilation_cache()
-    phases = (["upsample", "boundary", "concat", "rng"]
+    phases = (["upsample", "boundary", "concat", "rng", "blockremat"]
               if args.phase == "all" else [args.phase])
     for p in phases:
         print(f"=== {p} (B={B}) ===")
