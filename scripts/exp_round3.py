@@ -350,7 +350,16 @@ def phase_blockremat():
         def loss(x, params, temb):
             return jnp.sum(chain(x, params, temb).astype(jnp.float32) ** 2)
 
-        g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        # Reduce the gradient pytree to ONE scalar on-device: the naive
+        # "return full grads" form shipped a ~1.5 GB x-grad through the
+        # tunnel per call, swamping the ~100 ms device program (first
+        # run of this phase measured 2.6-3.5 s/call, all transfer).
+        def gnorm(x, params, temb):
+            gx, gp = jax.grad(loss, argnums=(0, 1))(x, params, temb)
+            leaves = jax.tree_util.tree_leaves((gx, gp))
+            return sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves)
+
+        g = jax.jit(gnorm)
         flops, nbytes = 0.0, 0.0
         try:
             cost = g.lower(x, params, temb).compile().cost_analysis()
