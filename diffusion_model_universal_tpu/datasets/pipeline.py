@@ -247,10 +247,12 @@ def make_augment_fn(transforms: Sequence[Dict[str, Any]],
                 # `dataset_utils.py:45-49`): multiplicative brightness/
                 # contrast/saturation factors ~ U[max(0,1-v), 1+v], hue
                 # shift ~ U[-hue, hue] applied in HSV space, each stage
-                # clamped to [0,1]. Torchvision randomizes the stage
-                # ORDER per call; this applies a fixed b→c→s→h order
-                # (the factor distributions are identical).
-                kb, kc, ks, kh = jax.random.split(sub, 4)
+                # clamped to [0,1]. Like torchvision, the stage ORDER is
+                # randomized per call (here: per batch) — a uniform
+                # permutation of the enabled stages drawn from the batch
+                # key; each stage's factor comes from its own dedicated
+                # key, so factor distributions are order-independent.
+                kb, kc, ks, kh, kp = jax.random.split(sub, 5)
                 bright = float(t.get("brightness", 0.0))
                 contrast = float(t.get("contrast", 0.0))
                 sat = float(t.get("saturation", 0.0))
@@ -261,31 +263,51 @@ def make_augment_fn(transforms: Sequence[Dict[str, Any]],
                 # Luma weights: torchvision's rgb_to_grayscale, used by
                 # both its contrast and saturation stages.
                 luma = jnp.asarray([0.2989, 0.587, 0.114], jnp.float32)
-                if bright:
+
+                def stage_brightness(x):
                     f = jax.random.uniform(kb, (b, 1, 1, 1),
                                            minval=max(0.0, 1 - bright),
                                            maxval=1 + bright)
-                    x = jnp.clip(x * f, 0.0, 1.0)
-                if contrast:
+                    return jnp.clip(x * f, 0.0, 1.0)
+
+                def stage_contrast(x):
                     f = jax.random.uniform(kc, (b, 1, 1, 1),
                                            minval=max(0.0, 1 - contrast),
                                            maxval=1 + contrast)
                     gray = (jnp.tensordot(x, luma, axes=(-1, 0))
                             if x.shape[-1] == 3 else x[..., 0])
                     m = jnp.mean(gray, axis=(1, 2), keepdims=True)[..., None]
-                    x = jnp.clip((x - m) * f + m, 0.0, 1.0)
-                if sat and x.shape[-1] == 3:
+                    return jnp.clip((x - m) * f + m, 0.0, 1.0)
+
+                def stage_saturation(x):
                     f = jax.random.uniform(ks, (b, 1, 1, 1),
                                            minval=max(0.0, 1 - sat),
                                            maxval=1 + sat)
                     gray = jnp.tensordot(x, luma, axes=(-1, 0))[..., None]
-                    x = jnp.clip((x - gray) * f + gray, 0.0, 1.0)
-                if hue and x.shape[-1] == 3:
+                    return jnp.clip((x - gray) * f + gray, 0.0, 1.0)
+
+                def stage_hue(x):
                     shift = jax.random.uniform(kh, (b, 1, 1),
                                                minval=-hue, maxval=hue)
                     hsv = _rgb_to_hsv(x)
                     hsv = hsv.at[..., 0].set((hsv[..., 0] + shift) % 1.0)
-                    x = jnp.clip(_hsv_to_rgb(hsv), 0.0, 1.0)
+                    return jnp.clip(_hsv_to_rgb(hsv), 0.0, 1.0)
+
+                stages = []
+                if bright:
+                    stages.append(stage_brightness)
+                if contrast:
+                    stages.append(stage_contrast)
+                if sat and x.shape[-1] == 3:
+                    stages.append(stage_saturation)
+                if hue and x.shape[-1] == 3:
+                    stages.append(stage_hue)
+                if len(stages) == 1:
+                    x = stages[0](x)
+                elif stages:
+                    perm = jax.random.permutation(kp, len(stages))
+                    for i in range(len(stages)):
+                        x = jax.lax.switch(perm[i], stages, x)
         if has_normalize:
             x = (x - mean_a) / std_a
         return x

@@ -88,6 +88,7 @@ class DDPM(BaseDiffusionModel):
             dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
             remat=cfg.get("remat", True),
+            remat_policy=cfg.get("remat_policy", None),
             num_classes=self.num_classes,
             # conv_bias=True restores the reference parameterization for
             # imported reference checkpoints (scripts/convert_weights.py).

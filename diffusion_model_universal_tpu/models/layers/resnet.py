@@ -21,11 +21,21 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ...ops.group_norm import group_norm_silu, resolve_num_groups
 from .attention import SelfAttentionBlock
 
 Array = jnp.ndarray
+
+# Conv outputs are tagged with this name so a byte-targeted remat policy
+# (`jax.checkpoint_policies.save_only_these_names(CONVOUT)`, wired as
+# UNet.remat_policy="save_convout") can SAVE the expensive-to-recompute
+# conv outputs while recomputing the cheap GN/SiLU elementwise chains in
+# the backward — cutting stored-activation HBM traffic on the
+# memory-bound train step (BENCH_NOTES round-3 byte audit). Outside a
+# jax.checkpoint region the tag is an identity no-op.
+CONVOUT = "convout"
 
 
 class GroupNormSiLU(nn.Module):
@@ -115,7 +125,7 @@ class SplitConv(nn.Module):
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(self.dtype)
-        return y
+        return checkpoint_name(y, CONVOUT)
 
 
 class ResidualBlock(nn.Module):
@@ -214,10 +224,11 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        return nn.Conv(self.channels, (4, 4), strides=(2, 2),
-                       padding=((1, 1), (1, 1)), dtype=self.dtype,
-                       use_bias=self.conv_bias,  # see ResidualBlock
-                       name="conv")(x.astype(self.dtype))
+        return checkpoint_name(
+            nn.Conv(self.channels, (4, 4), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    use_bias=self.conv_bias,  # see ResidualBlock
+                    name="conv")(x.astype(self.dtype)), CONVOUT)
 
 
 class Upsample(nn.Module):
@@ -235,10 +246,11 @@ class Upsample(nn.Module):
         # relative to torch's [in,out,kh,kw] (pinned to 1e-6 in
         # tests/test_golden_torch.py; scripts/convert_weights.py applies
         # the flip when importing reference checkpoints).
-        return nn.ConvTranspose(self.channels, (4, 4), strides=(2, 2),
-                                padding="SAME", dtype=self.dtype,
-                                use_bias=self.conv_bias,
-                                name="conv")(x.astype(self.dtype))
+        return checkpoint_name(
+            nn.ConvTranspose(self.channels, (4, 4), strides=(2, 2),
+                             padding="SAME", dtype=self.dtype,
+                             use_bias=self.conv_bias,
+                             name="conv")(x.astype(self.dtype)), CONVOUT)
 
 
 class ConvDownBlock(nn.Module):

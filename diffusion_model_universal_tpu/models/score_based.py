@@ -61,6 +61,7 @@ class ScoreBasedDiffusion(BaseDiffusionModel):
             use_pallas=self.use_pallas,
             continuous_sigma=True,
             remat=cfg.get("remat", True),
+            remat_policy=cfg.get("remat_policy", None),
         )
         # DSM weighting: "none" = reference parity; "sigma2" = the
         # NCSN λ(σ)=σ² objective (see utils.losses.score_matching_loss).

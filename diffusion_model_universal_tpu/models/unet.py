@@ -23,7 +23,10 @@ Differences from the reference are TPU idiom, not architecture:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import (AttentionDownBlock, AttentionUpBlock, ConvDownBlock,
@@ -31,6 +34,29 @@ from .layers import (AttentionDownBlock, AttentionUpBlock, ConvDownBlock,
                      SelfAttentionBlock, SigmaEmbedding, TimeEmbedding)
 
 Array = jnp.ndarray
+
+
+def resolve_remat_policy(name: Optional[str]):
+    """Map the YAML ``remat_policy`` string to a jax.checkpoint policy.
+
+    * ``None`` / ``"full"`` — recompute everything inside each rematted
+      stage (jax.checkpoint's default; the pre-round-4 ``remat: true``
+      behavior).
+    * ``"save_convout"`` — save conv outputs (tagged
+      :data:`~..layers.resnet.CONVOUT`), recompute the cheap GN/SiLU
+      elementwise chains in the backward. Measured at the flagship
+      B=2048 shape this is NOT a throughput win (XLA's default
+      materialization demands fewer bytes — BENCH_NOTES round 4); it
+      remains the memory-saving middle ground between no remat and full
+      stage recompute for memory-limited (high-res) configs.
+    """
+    if name is None or name == "full":
+        return None
+    if name == "save_convout":
+        return jax.checkpoint_policies.save_only_these_names("convout")
+    raise ValueError(
+        f"model_config.remat_policy must be 'full' or 'save_convout', "
+        f"got {name!r}")
 
 
 def _shard_activation(h: Array) -> Array:
@@ -58,6 +84,9 @@ class UNet(nn.Module):
             wires `dropout` — here it is functional).
         continuous_sigma: use log-σ conditioning instead of integer t.
         remat: checkpoint down/up stages to cut activation memory.
+        remat_policy: what the checkpointed stages SAVE — None/"full"
+            (recompute everything) or "save_convout" (keep conv outputs,
+            recompute GN/SiLU); implies ``remat`` when set.
     """
 
     in_channels: int = 3
@@ -69,6 +98,7 @@ class UNet(nn.Module):
     use_pallas: bool = False
     continuous_sigma: bool = False
     remat: bool = False
+    remat_policy: Optional[str] = None
     # Class-conditional generation (capability superset — the reference
     # is unconditional): index `num_classes` is the NULL token used for
     # classifier-free-guidance training/sampling.
@@ -118,12 +148,16 @@ class UNet(nn.Module):
         AttnDownB = AttentionDownBlock
         UpB = ConvUpBlock
         AttnUpB = AttentionUpBlock
-        if self.remat:
+        if self.remat or self.remat_policy is not None:
             # Static argnums: (self, x, t_emb, deterministic) → index 3.
-            DownB = nn.remat(ConvDownBlock, static_argnums=(3,))
-            AttnDownB = nn.remat(AttentionDownBlock, static_argnums=(3,))
-            UpB = nn.remat(ConvUpBlock, static_argnums=(3,))
-            AttnUpB = nn.remat(AttentionUpBlock, static_argnums=(3,))
+            kw = dict(static_argnums=(3,))
+            policy = resolve_remat_policy(self.remat_policy)
+            if policy is not None:
+                kw["policy"] = policy
+            DownB = nn.remat(ConvDownBlock, **kw)
+            AttnDownB = nn.remat(AttentionDownBlock, **kw)
+            UpB = nn.remat(ConvUpBlock, **kw)
+            AttnUpB = nn.remat(AttentionUpBlock, **kw)
 
         downs = [
             DownB(c, name="down0", **common),

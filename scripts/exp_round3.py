@@ -284,8 +284,6 @@ def phase_blockremat():
     Times a 4-block ResidualBlock chain fwd+bwd at the flagship shape
     under: none / save-convout / full-remat.
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
     from jax.ad_checkpoint import checkpoint_name
@@ -339,8 +337,7 @@ def phase_blockremat():
     }
 
     for name, pol in policies.items():
-        blk = block if pol is None else jax.checkpoint(
-            block, policy=pol, static_argnums=())
+        blk = block if pol is None else jax.checkpoint(block, policy=pol)
 
         def chain(x, params, temb):
             for p in params:
@@ -360,18 +357,18 @@ def phase_blockremat():
             return sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves)
 
         g = jax.jit(gnorm)
-        flops, nbytes = 0.0, 0.0
+        cost_txt = "cost-analysis n/a"
         try:
             cost = g.lower(x, params, temb).compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
             flops = float(cost.get("flops", 0.0))
             nbytes = float(cost.get("bytes accessed", 0.0))
-        except Exception:
-            pass
+            cost_txt = f"{nbytes/1e9:6.2f} GB   {flops/1e12:6.2f} TFLOP"
+        except Exception as e:  # sentinel, not fake zeros (ADVICE r3)
+            cost_txt = f"cost-analysis failed: {type(e).__name__}"
         t = timeit(g, x, params, temb, n=10)
-        print(f"{name:14s} fwd+bwd {t*1e3:8.3f} ms   "
-              f"{nbytes/1e9:6.2f} GB   {flops/1e12:6.2f} TFLOP")
+        print(f"{name:14s} fwd+bwd {t*1e3:8.3f} ms   {cost_txt}")
 
 
 if __name__ == "__main__":

@@ -219,3 +219,51 @@ def test_unet_split_skip_convs_matches_concat():
     y_off = off.apply(p_on, x, t)
     np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
                                atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# remat_policy knob (round-4): the byte-targeted checkpoint policy must be a
+# pure scheduling knob — identical params, outputs, and gradients vs no remat.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("remat,policy", [
+    (True, None),              # pre-round-4 full stage recompute
+    (False, "save_convout"),   # policy implies remat
+    (False, "full"),
+])
+def test_unet_remat_policy_is_numerically_transparent(remat, policy):
+    from diffusion_model_universal_tpu.models.unet import UNet
+
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    t = jnp.asarray([3, 9], jnp.int32)
+    base = UNet(model_channels=32, remat=False)
+    rem = UNet(model_channels=32, remat=remat, remat_policy=policy)
+    params = base.init(jax.random.PRNGKey(0), x, t)
+    p_rem = rem.init(jax.random.PRNGKey(0), x, t)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(p_rem)
+    assert [k for k, _ in flat_a] == [k for k, _ in flat_b]
+
+    def loss(m):
+        def f(p):
+            return jnp.sum(m.apply(p, x, t) ** 2)
+        return f
+
+    la, ga = jax.value_and_grad(loss(base))(params)
+    lb, gb = jax.value_and_grad(loss(rem))(params)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(ga),
+                              jax.tree_util.tree_leaves_with_path(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5, err_msg=str(k))
+
+
+def test_unet_remat_policy_unknown_raises():
+    from diffusion_model_universal_tpu.models.unet import UNet
+
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    with pytest.raises(ValueError, match="remat_policy"):
+        UNet(model_channels=32, remat_policy="bogus").init(
+            jax.random.PRNGKey(0), x, t)
