@@ -14,11 +14,12 @@ peak bf16 TFLOP/s — i.e. raw MFU. The headline TRAINING metric reports
 measured / ACHIEVABLE roofline, where the achievable roofline adjusts
 for the measured efficiency of XLA's conv kernels at this UNet's own
 shapes plus the optimizer-state HBM floor (see bench_training;
-``raw_mfu``, ``achievable_mfu`` and ``conv_efficiency_measured`` are
-emitted alongside so the adjustment is auditable). 0.9 meets
-BASELINE.json's stated target for training; the samplers are the
-BASELINE metric-2 programs (the reference's 1000 sequential UNet
-calls, `models/ddpm.py:251-253`, run here as ONE on-device lax.scan).
+``raw_mfu``, ``achievable_mfu``, ``conv_efficiency_measured`` and the
+measured stream-bandwidth diagnostic are emitted alongside so the
+accounting is auditable). 0.9 meets BASELINE.json's stated target for
+training; the samplers are the BASELINE metric-2 programs (the
+reference's 1000 sequential UNet calls, `models/ddpm.py:251-253`, run
+here as ONE on-device lax.scan).
 
 Training uses the trainer's scan path (``train_step_scan``): K steps per
 dispatch, amortizing the host→device round trip — the same path real
@@ -57,6 +58,77 @@ def _flops_of(jitted, *args) -> float:
     return _cost_of(jitted, *args)[0]
 
 
+def watchdog(label: str, fn, timeout_s: float = None):
+    """Run ``fn()`` (typically a first call = trace+compile+execute) with
+    a wall-clock bound (VERDICT r3 #8: the remote compile service has
+    stalled INDEFINITELY on large programs — 27+ min, futex-parked, relay
+    connection gone — twice in round 3; a bench that hangs forever yields
+    an EMPTY driver artifact, strictly worse than a diagnosable one).
+    On timeout, prints a structured JSON line naming the stalled phase
+    and exits. Default bound 2400 s (the healthy B=2048 train-step
+    compile is ~20 min; observed stalls never completed at all), via
+    ``DMU_BENCH_COMPILE_TIMEOUT``."""
+    import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("DMU_BENCH_COMPILE_TIMEOUT",
+                                         "2400"))
+    out, err = {}, {}
+
+    def run():
+        try:
+            out["v"] = fn()
+        except BaseException as e:  # surfaced below, on the main thread
+            err["e"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(json.dumps({
+            "metric": f"BENCH FAILED: stalled in {label}",
+            "value": timeout_s, "unit": "seconds", "vs_baseline": 0.0,
+        }), flush=True)
+        raise SystemExit(1)
+    if "e" in err:
+        raise err["e"]
+    return out.get("v")
+
+
+def measure_stream_bandwidth() -> float:
+    """Measured achievable HBM bandwidth (bytes/s) on THIS chip: a bf16
+    triad (y = a·x + y; 2 reads + 1 write per element per rep) over
+    256 MB buffers — far beyond VMEM, so every pass streams HBM. This is
+    the memory-side analogue of measure_conv_efficiency: the spec
+    819 GB/s is no more reachable by real kernels than MXU peak is, so
+    the bandwidth-honest roofline prices bytes at THIS number (the
+    scalar multiplier varies per rep to defeat CSE)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = 128 * 1024 * 1024  # bf16 → 256 MB per buffer
+    x = jnp.ones((n,), jnp.bfloat16)
+    y = jnp.full((n,), 0.5, jnp.bfloat16)
+    reps = 16
+
+    # fori_loop keeps the program body tiny (one fused triad) — a
+    # 16-deep unrolled chain over 256 MB operands stalled the remote
+    # compile service; the loop-carried scalar multiplier defeats CSE.
+    def triad(x, y):
+        def body(i, y):
+            return x * (1.0 + i.astype(jnp.bfloat16) * 1e-3) + y
+        return jax.lax.fori_loop(0, reps, body, y)
+
+    jitted = jax.jit(triad)
+    _ = np.asarray(jitted(x, y)[0])  # compile + warm
+    t0 = time.perf_counter()
+    out = jitted(x, y)
+    _ = np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    return reps * 3 * n * 2 / dt
+
+
 def _cost_of(jitted, *args) -> tuple:
     """(flops, bytes accessed) of the compiled program, via XLA cost
     analysis. Bytes counts each fusion's operands+outputs once (inner
@@ -69,6 +141,43 @@ def _cost_of(jitted, *args) -> tuple:
                 float(cost.get("bytes accessed", 0.0)))
     except Exception:
         return 0.0, 0.0
+
+
+def time_sampler(fn, key, target_window_s: float = 2.0,
+                 windows: int = 4, max_calls_per_window: int = 12):
+    """Amortized sampler timing (VERDICT r3 #4: n=1-3 calls at 0.15-0.4 s
+    over a tunneled runtime cannot distinguish regression from jitter —
+    four observed DPM++ runs of IDENTICAL code spanned 0.146-0.23 s).
+
+    Probes one call, sizes windows of back-to-back async dispatches to
+    ~``target_window_s`` each (one host sync per window), times
+    ``windows`` of them, and returns (median_per_call, total_calls,
+    spread) where spread = (max−min)/median across window means — the
+    dispersion figure that says whether two bench runs are comparable.
+    """
+    import jax
+    import numpy as np
+
+    t0 = time.perf_counter()
+    out = fn(key)
+    _ = np.asarray(out)
+    probe = time.perf_counter() - t0
+    k = max(1, min(max_calls_per_window, int(round(target_window_s
+                                                   / max(probe, 1e-3)))))
+    per_window = []
+    i = 0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn(jax.random.fold_in(key, i))
+            i += 1
+        # Force materialization: block_until_ready has been observed to
+        # return early under tunneled runtimes (BENCH_NOTES / memory).
+        _ = np.asarray(out)
+        per_window.append((time.perf_counter() - t0) / k)
+    med = float(np.median(per_window))
+    spread = (max(per_window) - min(per_window)) / med
+    return med, k * windows, spread
 
 
 def bench_sampler(peak: float) -> None:
@@ -105,15 +214,14 @@ def bench_sampler(peak: float) -> None:
              19,   # S-1 model evals
              lambda p, k: ddpm.generate_samples_dpm(
                  p, k, batch, num_steps=20))):
-        _ = np.asarray(fn(params, key))     # compile + run
-        n = 3 if steps <= 50 else 1
-        t0 = time.perf_counter()
-        for i in range(n):
-            out = fn(params, jax.random.fold_in(key, i))
-        # Force materialization: block_until_ready has been observed to
-        # return early under tunneled runtimes (BENCH_NOTES / memory).
-        _ = np.asarray(out)
-        dt = (time.perf_counter() - t0) / n
+        # First call = trace+compile(+cache load): bounded by the
+        # compile watchdog so a compile-service stall degrades the
+        # artifact instead of emptying it (VERDICT r3 #8).
+        watchdog(f"sampler compile: {name}",
+                 lambda: np.asarray(fn(params, key)))
+        windows = 2 if steps > 50 else 4  # ancestral: ~6 s/call
+        dt, reps, spread = time_sampler(
+            lambda k: fn(params, k), key, windows=windows)
         mfu = apply_flops * steps / dt / peak if apply_flops else 0.0
         print(json.dumps({
             "metric": name,
@@ -123,8 +231,10 @@ def bench_sampler(peak: float) -> None:
             # BASELINE metric-2 cost model (VERDICT r2 #2): per-chip
             # sampler throughput, comparable across batch sizes — the
             # batch sweep lives in scripts/exp_sampler_batch.py and
-            # BENCH_NOTES round 3.
+            # BENCH_NOTES round 4.
             "samples_per_sec_chip": round(batch / dt, 2),
+            "reps": reps,
+            "window_spread_pct": round(spread * 100, 1),
         }), flush=True)
 
 
@@ -322,9 +432,17 @@ def bench_training(peak: float) -> None:
     mu_dtype = os.environ.get("DMU_BENCH_MU_DTYPE", "bfloat16")
     ema_dtype = os.environ.get("DMU_BENCH_EMA_DTYPE", "float32")
     rng_impl = os.environ.get("DMU_BENCH_RNG", "rbg")
+    # Remat A/B knob ("off" | "full" | "save_convout") — measured
+    # NEGATIVE at B=2048 (both policies demand MORE bytes and run
+    # slower than XLA's default materialization; BENCH_NOTES round 4),
+    # so the headline default stays off; the knob keeps the full-step
+    # A/B reproducible.
+    remat_env = os.environ.get("DMU_BENCH_REMAT", "off")
     model = DDPM({
         "num_timesteps": 1000, "image_size": 32, "in_channels": 3,
-        "model_channels": 128, "remat": False,
+        "model_channels": 128, "remat": remat_env == "full",
+        "remat_policy": (remat_env if remat_env not in ("off", "full")
+                         else None),
         "loss_config": {"use_time_weighting": True},
     })
     cfg = {
@@ -352,16 +470,26 @@ def bench_training(peak: float) -> None:
     # FLOPs of ONE compiled train step for the roofline denominator
     # (XLA cost analysis counts a lax.scan body once, so the K-step scan
     # program reports 1/K of its real FLOPs; the single-step program is
-    # the honest per-step count).
-    step_flops, step_bytes = _cost_of(trainer.train_step, state, chunk[0],
-                                      trainer._step_key(0))
+    # the honest per-step count). Both this compile and the scan
+    # program's first dispatch run under the compile watchdog
+    # (VERDICT r3 #8: two observed 27+ min compile-service stalls).
+    step_flops, step_bytes = watchdog(
+        "train-step cost analysis compile",
+        lambda: _cost_of(trainer.train_step, state, chunk[0],
+                         trainer._step_key(0)))
 
     # Warmup (compile + let the remote compile service settle) then
     # steady-state timing.
     import numpy as np
-    for i in range(4):
-        state, losses = trainer._scan_chunk(state, chunk, i * scan_k)
-    _ = np.asarray(losses)
+
+    def warmup():
+        s = state
+        for i in range(4):
+            s, losses = trainer._scan_chunk(s, chunk, i * scan_k)
+        _ = np.asarray(losses)
+        return s
+
+    state = watchdog("train scan-program compile + warmup", warmup)
 
     n_chunks = 8
     t0 = time.perf_counter()
@@ -382,13 +510,27 @@ def bench_training(peak: float) -> None:
     # every FLOP at MXU peak, which XLA's conv kernels cannot reach at
     # this model's shapes. The achievable step time =
     #   step FLOPs / (peak × conv_eff_measured)        [compute]
-    # + optimizer HBM floor (Adam mu/nu + EMA + params: 8 passes of
-    #   f32 state per step over ~819 GB/s on v5e)      [bandwidth]
+    # + optimizer HBM floor (Adam mu/nu + EMA + params passes)
     # with conv_eff MEASURED in this run on the UNet's own conv
     # inventory (measure_conv_efficiency). vs_baseline = fraction of
     # that achievable roofline — auditable against the 0.9 target;
     # raw_mfu and the inputs are emitted alongside.
+    #
+    # Memory-side audit (r4, VERDICT r3 #2): the r3 notes called the
+    # step "memory-bound" by pricing XLA-cost-analysis bytes (96.7 GB)
+    # at the 819 GB/s spec. Both sides of that division are wrong on
+    # this chip: measured streaming ceilings are ~272 GB/s (bf16 triad)
+    # / ~371 GB/s (f32 triad) — at which the "demanded" bytes would
+    # need 260-356 ms, MORE than the whole measured step — proving
+    # cost-analysis bytes overcount true DMA (fusion operands are
+    # counted per-use while staying VMEM-resident), and that bf16
+    # streams NO faster than f32 (same ~45 Gelem/s element rate:
+    # elementwise passes are element-rate-bound, not byte-bound). The
+    # step_bytes/stream fields below are therefore DIAGNOSTIC; the
+    # roofline stays on the measured-compute-floor basis, comparable
+    # across rounds.
     conv_eff = measure_conv_efficiency(peak, batch_size)
+    stream_bw = watchdog("stream-bandwidth probe", measure_stream_bandwidth)
     vs_baseline = raw_mfu
     achievable_mfu = 0.0
     if step_flops and conv_eff:
@@ -414,13 +556,13 @@ def bench_training(peak: float) -> None:
         "raw_mfu": round(raw_mfu, 4),
         "achievable_mfu": round(achievable_mfu, 4),
         "conv_efficiency_measured": round(conv_eff, 4),
-        # Auditable bandwidth picture (informational, not in the
-        # roofline): demanded HBM bytes of ONE step (XLA cost analysis)
-        # and the time those bytes need at spec bandwidth. Together
-        # with t_conv they bound the step from the memory side — see
-        # BENCH_NOTES round-3 "speed-of-light accounting".
+        # Diagnostic memory picture (see roofline comment): demanded
+        # bytes (XLA cost analysis — overcounts DMA), the measured
+        # bf16-triad stream ceiling, and the spec floor for continuity
+        # with the r3 audit.
         "step_bytes_gb": round(step_bytes / 1e9, 2),
-        "hbm_floor_ms": round(step_bytes / 819e9 * 1e3, 2),
+        "stream_bw_gbs_measured": round(stream_bw / 1e9, 1),
+        "hbm_floor_spec_ms": round(step_bytes / 819e9 * 1e3, 2),
         "step_ms_measured": round(dt / n_chunks / scan_k * 1e3, 2),
     }), flush=True)
     trainer.cleanup()

@@ -52,10 +52,18 @@ def group_norm_silu_xla(x: Array, scale: Array, bias: Array, num_groups: int,
     (profiled at ~30% of the round-1 train step). Instead:
 
     1. per-CHANNEL spatial sums Σx, Σx² as one f32-accumulated reduction
-       over (H, W) — channel dim stays on the lanes, single pass over x;
+       over (H, W) — channel dim stays on the lanes, single pass over x
+       (XLA fuses the convert+reduce into the producing conv's epilogue);
     2. group stats by reducing the tiny [B, C] sums to [B, G];
-    3. one fused elementwise pass ``silu(x·a + b)`` in the input dtype,
-       with the normalization folded into per-channel a, b.
+    3. one fused elementwise pass ``silu(x·a + b)`` in the INPUT dtype,
+       with the normalization folded into per-channel f32 a, b (cast to
+       the input dtype at the tiny [B, C] stage). Keeping the apply in
+       the input dtype matters for the BACKWARD: an f32 apply forces
+       XLA to materialize f32 [B,H,W,C] cotangents (profiled at
+       3×3.0 ms `convert_element_type` fusions per step at the flagship
+       B=2048 — round-4 trace), while the output was cast to bf16 for
+       the consuming conv anyway, so the extra f32 precision never
+       survived the forward.
 
     ``time_bias`` ([B, C], the ResidualBlock's time-embedding channel
     bias) folds into the SAME pass for free: its contribution to the
@@ -93,7 +101,13 @@ def group_norm_silu_xla(x: Array, scale: Array, bias: Array, num_groups: int,
     b_ = bias.astype(jnp.float32) - mean_c * a
     if time_bias is not None:
         b_ = b_ + time_bias.astype(jnp.float32) * a
-    out = xf32 * a[:, None, None, :] + b_[:, None, None, :]
+    # Apply in the INPUT dtype (a, b cast at the tiny [B, C] stage): for
+    # bf16 activations this keeps the [B,H,W,C] elementwise pass AND its
+    # backward cotangents in bf16 — the downstream conv consumed a bf16
+    # cast of this output anyway, so only one rounding moves. f32 inputs
+    # (CPU tests, golden oracles) are bit-identical to the f32 form.
+    out = (x * a[:, None, None, :].astype(x.dtype)
+           + b_[:, None, None, :].astype(x.dtype))
     if apply_silu:
         out = out * jax.nn.sigmoid(out)
     return out.astype(x.dtype)

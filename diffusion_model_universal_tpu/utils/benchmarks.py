@@ -174,6 +174,43 @@ def frechet_distance(feats1: Array, feats2: Array) -> float:
                  - 2.0 * trace_sqrt)
 
 
+def extractor_features(images, extractor, batch: int = 256) -> np.ndarray:
+    """Features for a (possibly large) image array in device-sized chunks.
+
+    ``images``: NHWC in [-1, 1] (numpy or jax). Returns [N, D] numpy."""
+    out = []
+    for i in range(0, len(images), batch):
+        f, _ = extractor(jnp.asarray(images[i:i + batch]))
+        out.append(np.asarray(f))
+    return np.concatenate(out)
+
+
+def sampler_extractor_fid(sample_fn, params, num_samples: int,
+                          real_feats: np.ndarray, extractor,
+                          key_seed: int = 1000,
+                          batch: int = 128) -> float:
+    """Extractor-FID of a sampler against precomputed real features.
+
+    The shared cross-family fidelity comparison used by
+    scripts/score_demo.py and scripts/energy_demo.py (capability:
+    reference `--benchmark` path, `scripts/train.py:134-156`): with the
+    SAME extractor instance and the SAME held-out real draw, the numbers
+    are directly comparable ACROSS model families trained on one corpus.
+    With the default seeded random-feature extractor they are
+    ordering-only, not literature-comparable (zero-egress environment;
+    see make_extractor / DMU_INCEPTION_WEIGHTS for real weights).
+
+    ``sample_fn(params, key, batch) -> [batch, H, W, C] in ~[-1, 1]``.
+    """
+    chunks = []
+    for i in range(0, num_samples, batch):
+        key_i = jax.random.fold_in(jax.random.PRNGKey(key_seed), i)
+        x = np.asarray(sample_fn(params, key_i, batch))
+        chunks.append(np.clip(x, -1.0, 1.0))
+    gen = np.concatenate(chunks)[:num_samples]
+    return frechet_distance(extractor_features(gen, extractor), real_feats)
+
+
 def inception_score(logits: Array, splits: int = 10):
     """IS over class LOGITS with the standard 10-split protocol
     (reference `calculate_inception_score`, `benchmarks.py:113-143`;

@@ -40,6 +40,11 @@ def main() -> None:
     ap.add_argument("--samples", type=int, default=8192)
     ap.add_argument("--timesteps", type=int, default=300)
     ap.add_argument("--objective", choices=["dsm", "cd"], default="dsm")
+    ap.add_argument("--fid_samples", type=int, default=1024,
+                    help="extractor-FID sample count (0 disables); uses "
+                         "the SAME extractor seed + real draw as "
+                         "score_demo.py, so the numbers are comparable "
+                         "across the score/energy/DDPM family table")
     ap.add_argument("--out", type=str, default="/tmp/dmu_energy_demo")
     args = ap.parse_args()
 
@@ -114,6 +119,28 @@ def main() -> None:
         gy = np.abs(np.diff(x, axis=1)).mean()
         return float(gx + gy)
 
+    # -- extractor-FID on the shared protocol (VERDICT r3 #5) -------------
+    # Extractor seed 0, real draw seed 7, key seed 1000: identical to
+    # score_demo.py, so this number lands in the same comparison table as
+    # the score FID and the equal-budget DDPM FID (ordering-only — the
+    # seeded random-feature extractor is not literature-comparable).
+    fid_energy = None
+    if args.fid_samples:
+        from diffusion_model_universal_tpu.utils.benchmarks import (
+            FeatureExtractor, extractor_features, sampler_extractor_fid)
+
+        extractor = FeatureExtractor(seed=0)
+        real = make_synthetic(num_samples=args.fid_samples, image_size=32,
+                              seed=7).astype(np.float32) / 127.5 - 1.0
+        real_f = extractor_features(real, extractor)
+        t2 = time.time()
+        fid_energy = sampler_extractor_fid(
+            model.generate_samples, trainer.state.ema_params,
+            args.fid_samples, real_f, extractor)
+        print(f"energy({args.objective}) FID(random-feat, "
+              f"{args.fid_samples}) = {fid_energy:.4f}  "
+              f"({time.time() - t2:.0f}s sampling)", flush=True)
+
     summary = {
         "objective": args.objective,
         "timesteps": args.timesteps,
@@ -123,6 +150,9 @@ def main() -> None:
         "sample_seconds": round(sample_s, 1),
         "data_smoothness": round(smoothness(data), 4),
         "sample_smoothness": round(smoothness(np.clip(grid, -1, 1)), 4),
+        "fid_random_feat": (round(fid_energy, 4)
+                            if fid_energy is not None else None),
+        "fid_samples": args.fid_samples,
         "grid": path,
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:

@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -36,7 +35,7 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from bench import _flops_of, peak_flops_for
+    from bench import _flops_of, peak_flops_for, time_sampler
     from diffusion_model_universal_tpu.models import DDIM, DDPM
     from diffusion_model_universal_tpu.utils.cache import \
         enable_compilation_cache
@@ -52,7 +51,7 @@ def main() -> None:
     params = ddpm.init_params(key)
 
     print(f"{'sampler':28s} {'B':>5s} {'wall s':>8s} {'img/s':>8s} "
-          f"{'MFU':>6s}")
+          f"{'MFU':>6s} {'reps':>5s} {'spread':>7s}")
     for batch in args.batches:
         xs = jnp.zeros((batch, args.image_size, args.image_size, 3),
                        jnp.float32)
@@ -72,15 +71,16 @@ def main() -> None:
                              p, k, b)))
         for name, evals, fn in runs:
             _ = np.asarray(fn(params, key))  # compile + warm
-            n = 3 if evals <= 50 else 1
-            t0 = time.perf_counter()
-            for i in range(n):
-                out = fn(params, jax.random.fold_in(key, i))
-            _ = np.asarray(out)
-            dt = (time.perf_counter() - t0) / n
+            # Amortized timing (bench.time_sampler): windows of
+            # back-to-back async dispatches, one sync per window,
+            # dispersion reported — the r3 n=1-3 methodology could not
+            # tell regression from tunnel jitter (VERDICT r3 #4).
+            windows = 2 if evals > 50 else 4
+            dt, reps, spread = time_sampler(
+                lambda k: fn(params, k), key, windows=windows)
             mfu = apply_flops * evals / dt / peak if apply_flops else 0.0
             print(f"{name:28s} {batch:5d} {dt:8.3f} {batch/dt:8.1f} "
-                  f"{mfu:6.3f}", flush=True)
+                  f"{mfu:6.3f} {reps:5d} {spread*100:6.1f}%", flush=True)
 
 
 if __name__ == "__main__":

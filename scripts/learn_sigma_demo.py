@@ -63,7 +63,8 @@ def train_one(model_name: str, learn_sigma: bool, args, out_dir: str):
     }
     train, val, test = get_dataset(cfg)
     model = MODEL_REGISTRY["ddpm"](model_cfg)
-    trainer = TRAINER_REGISTRY["ddpm"](model, train, val, test, cfg)
+    trainer = TRAINER_REGISTRY["ddpm"](model, train, val, test, cfg,
+                                       seed=args.seed)
     hist = trainer.train(args.epochs)
     params = trainer.state.ema_params
     # Keep a held-out batch for NLL (the test loader's first batch).
@@ -86,6 +87,11 @@ def main() -> None:
                     help="synthetic dataset size")
     ap.add_argument("--fid_samples", type=int, default=512)
     ap.add_argument("--strided_steps", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (param init + noise stream + "
+                         "shuffling); the multi-seed evidence protocol "
+                         "(VERDICT r3 #7) runs seeds 0/1/2 and reports "
+                         "mean±spread in docs/ddpm.md")
     ap.add_argument("--out", type=str, default="/tmp/dmu_learn_sigma")
     args = ap.parse_args()
 

@@ -146,37 +146,21 @@ def main() -> None:
     fid_score = fid_ddpm = None
     ddpm_seconds = 0.0
     if args.fid_samples:
-        import jax.numpy as jnp
-
         from diffusion_model_universal_tpu.models import DDPM
         from diffusion_model_universal_tpu.trainers import DDPMTrainer
         from diffusion_model_universal_tpu.utils.benchmarks import (
-            FeatureExtractor, frechet_distance)
+            FeatureExtractor, extractor_features, sampler_extractor_fid)
 
+        # Shared protocol with scripts/energy_demo.py: extractor seed 0,
+        # real draw seed 7 — FIDs from both demos are comparable.
         extractor = FeatureExtractor(seed=0)
         real = make_synthetic(num_samples=args.fid_samples, image_size=32,
                               seed=7).astype(np.float32) / 127.5 - 1.0
-
-        def feats_of(imgs):
-            out = []
-            for i in range(0, len(imgs), 256):
-                f, _ = extractor(jnp.asarray(imgs[i:i + 256]))
-                out.append(np.asarray(f))
-            return np.concatenate(out)
-
-        def gen_feats(sample_fn, params):
-            chunks, b = [], 128
-            for i in range(0, args.fid_samples, b):
-                key_i = jax.random.fold_in(jax.random.PRNGKey(1000), i)
-                x = np.asarray(sample_fn(params, key_i, b))
-                chunks.append(np.clip(x, -1.0, 1.0))
-            return feats_of(np.concatenate(chunks)[:args.fid_samples])
-
-        real_f = feats_of(real)
+        real_f = extractor_features(real, extractor)
         t2 = time.time()
-        fid_score = frechet_distance(
-            gen_feats(model.generate_samples, trainer.state.ema_params),
-            real_f)
+        fid_score = sampler_extractor_fid(
+            model.generate_samples, trainer.state.ema_params,
+            args.fid_samples, real_f, extractor)
         print(f"score FID(random-feat, {args.fid_samples}) = "
               f"{fid_score:.4f}  ({time.time() - t2:.0f}s sampling)",
               flush=True)
@@ -190,9 +174,9 @@ def main() -> None:
         t3 = time.time()
         dtrainer.train(args.epochs)
         ddpm_seconds = time.time() - t3
-        fid_ddpm = frechet_distance(
-            gen_feats(ddpm.generate_samples, dtrainer.state.ema_params),
-            real_f)
+        fid_ddpm = sampler_extractor_fid(
+            ddpm.generate_samples, dtrainer.state.ema_params,
+            args.fid_samples, real_f, extractor)
         print(f"equal-budget DDPM FID = {fid_ddpm:.4f}  "
               f"(train {ddpm_seconds:.0f}s)", flush=True)
         dgrid = np.asarray(ddpm.generate_samples(

@@ -215,3 +215,36 @@ def test_benchmark_nll_metric():
     # default metrics: no NLL (it costs a full T-term scan per batch)
     bench2 = B.DiffusionBenchmark(n_samples=4, batch_size=4)
     assert "nll_bits_per_dim" not in bench2.evaluate(model, params, loader)
+
+
+def test_sampler_extractor_fid_helpers():
+    """extractor_features chunks correctly and sampler_extractor_fid is
+    ~0 when the 'sampler' replays the real draw, and larger for noise —
+    the shared cross-family protocol of score_demo.py / energy_demo.py."""
+    rng = np.random.default_rng(3)
+    ext = B.FeatureExtractor(seed=0, feature_dim=64)
+    real = rng.uniform(-1, 1, (12, 32, 32, 3)).astype(np.float32)
+    f_all = B.extractor_features(real, ext, batch=5)  # ragged chunking
+    assert f_all.shape == (12, 64)
+    f_once = B.extractor_features(real, ext, batch=32)
+    np.testing.assert_allclose(f_all, f_once, rtol=1e-5, atol=1e-5)
+
+    calls = []
+
+    def replay_sampler(params, key, batch):
+        del params, key
+        off = len(calls) * batch
+        calls.append(1)
+        return jnp.asarray(real[off:off + batch])
+
+    def noise_sampler(params, key, batch):
+        del params
+        return jax.random.uniform(key, (batch, 32, 32, 3),
+                                  minval=-1.0, maxval=1.0) * 0.1
+
+    fid_replay = B.sampler_extractor_fid(replay_sampler, None, 12, f_all,
+                                         ext, batch=6)
+    fid_noise = B.sampler_extractor_fid(noise_sampler, None, 12, f_all,
+                                        ext, batch=6)
+    assert fid_replay < 1e-3
+    assert fid_noise > fid_replay + 1.0
