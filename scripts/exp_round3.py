@@ -41,14 +41,33 @@ def timeit(fn, *args, n=20, warmup=3):
 
 
 def grad_norm_fn(f):
-    """Scalarize f through sum → jit grad wrt all args."""
+    """fwd+bwd timing program: grad of sum(f²) wrt all args, reduced to
+    ONE on-device scalar (returning the raw grad tensors would ship
+    hundreds of MB through the tunnel per call — see scalarized())."""
     import jax
     import jax.numpy as jnp
 
     def loss(*a):
         return jnp.sum(f(*a).astype(jnp.float32) ** 2)
 
-    return jax.jit(jax.grad(loss, argnums=tuple(range(len_args(f)))))
+    grad = jax.grad(loss, argnums=tuple(range(len_args(f))))
+
+    def gnorm(*a):
+        return sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                   for g in jax.tree_util.tree_leaves(grad(*a)))
+
+    return jax.jit(gnorm)
+
+
+def scalarized(f):
+    """jit(sum(f(*a))) — time forward passes WITHOUT shipping the full
+    output tensor through the tunnel (a [2048,32,32,128] bf16 return is
+    537 MB ≈ 1.8 s of pure transfer, swamping a ~2 ms device program;
+    the first boundary/upsample runs measured exactly that)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda *a: jnp.sum(f(*a).astype(jnp.float32)))
 
 
 def len_args(f):
@@ -109,7 +128,9 @@ def phase_upsample():
 
     ga = grad_norm_fn(flax_ct)
     gb = grad_norm_fn(subpixel_conv_transpose)
-    for name, f, g in (("flax_ct", fa, ga), ("subpixel", fb, gb)):
+    for name, f, g in (("flax_ct", scalarized(flax_ct), ga),
+                       ("subpixel", scalarized(subpixel_conv_transpose),
+                        gb)):
         tf = timeit(f, x, w)
         tg = timeit(g, x, w)
         print(f"{name:14s} fwd {tf*1e3:7.3f} ms   fwd+bwd {tg*1e3:7.3f} ms")
@@ -171,7 +192,10 @@ def phase_boundary():
     def loss_out(x, w):
         return jnp.sum(conv_out(x, w).astype(jnp.float32) ** 2)
 
-    go = jax.jit(jax.grad(loss_out, argnums=(0, 1)))
+    go_raw = jax.jit(jax.grad(loss_out, argnums=(0, 1)))
+    go = jax.jit(lambda x, w: sum(
+        jnp.sum(g.astype(jnp.float32) ** 2)
+        for g in jax.grad(loss_out, argnums=(0, 1))(x, w)))
 
     dz = jax.jit(lambda x, w: 2 * conv_in(x, w).astype(jnp.bfloat16))(
         x3, w_in)
@@ -186,17 +210,21 @@ def phase_boundary():
     print("wgrad_in  max|diff|:",
           float(jnp.max(jnp.abs(ref_wg.astype(jnp.float32)
                                 - got_wg.astype(jnp.float32)))))
-    ref_dx = go(xh, w_out)[0]
+    ref_dx = go_raw(xh, w_out)[0]
     got_dx = dg(dy3, w_out)
     print("dgrad_out max|diff|:",
           float(jnp.max(jnp.abs(ref_dx.astype(jnp.float32)
                                 - got_dx.astype(jnp.float32)))))
 
+    # All timed programs reduce to scalars (or [27,128]-sized grads) on
+    # device; the raw-tensor returns of conv_out/dgrad ship 100 MB-2 GB
+    # through the tunnel otherwise (see scalarized()).
+    sdg = jax.jit(lambda dy, w: jnp.sum(dgrad_out_gemm(dy, w)))
     print(f"initial wgrad   XLA  {timeit(gi, x3, w_in)*1e3:7.3f} ms")
     print(f"initial wgrad   GEMM {timeit(wg, x3, dz)*1e3:7.3f} ms")
-    print(f"output fwd           {timeit(jax.jit(conv_out), xh, w_out)*1e3:7.3f} ms")
+    print(f"output fwd           {timeit(scalarized(conv_out), xh, w_out)*1e3:7.3f} ms")
     print(f"output dgrad+wgrad XLA {timeit(go, xh, w_out)*1e3:7.3f} ms")
-    print(f"output dgrad    GEMM {timeit(dg, dy3, w_out)*1e3:7.3f} ms")
+    print(f"output dgrad    GEMM {timeit(sdg, dy3, w_out)*1e3:7.3f} ms")
 
 
 def phase_concat():

@@ -39,6 +39,10 @@ if _cache_dir:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+if not _cache_dir:
+    # jax's DEFAULT on-disk cache stays active even with no dir set;
+    # this host's XLA:CPU serialization path segfaults (conftest.py).
+    jax.config.update("jax_enable_compilation_cache", False)
 if os.environ.get("DMU_WORKER_FAST_COMPILE") == "1":
     # Dryrun-gate mode: skip expensive XLA HLO passes (SPMD partitioning
     # still runs; this gate certifies sharded compile+execute, and both
