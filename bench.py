@@ -529,7 +529,11 @@ def bench_training(peak: float) -> None:
     # step_bytes/stream fields below are therefore DIAGNOSTIC; the
     # roofline stays on the measured-compute-floor basis, comparable
     # across rounds.
-    conv_eff = measure_conv_efficiency(peak, batch_size)
+    # Conv-efficiency shapes are capped at B=2048: the chained-rep
+    # micro-bench OOMs the remote compile helper above that (observed at
+    # B=3072), and per-shape MXU efficiency is batch-insensitive once
+    # the MXU is saturated (256→2048 measured within noise).
+    conv_eff = measure_conv_efficiency(peak, min(batch_size, 2048))
     stream_bw = watchdog("stream-bandwidth probe", measure_stream_bandwidth)
     vs_baseline = raw_mfu
     achievable_mfu = 0.0
