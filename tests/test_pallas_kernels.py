@@ -217,3 +217,33 @@ def test_conv_probe_custom_vjp_grads_match_xla():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_x),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_gn_xla_bf16_apply_stays_bf16():
+    """Canary for the round-4 throughput win (BENCH_NOTES r4): the XLA
+    GroupNorm applies the normalization in the INPUT dtype (f32 stats),
+    which keeps backward cotangents bf16 and removed ~12 ms/step of f32
+    convert/add passes at the flagship batch. A revert to the old
+    f32-apply-then-cast form produces bitwise-different bf16 outputs on
+    generic inputs; this pins the bf16-apply path while bounding its
+    rounding distance from the f32 reference."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 8, 8, 32)), jnp.bfloat16)
+    scale = jnp.asarray(rng.normal(size=(32,)) * 0.2 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(32,)) * 0.1, jnp.float32)
+
+    got = group_norm_silu_xla(x, scale, bias, 8)
+    assert got.dtype == jnp.bfloat16
+
+    # f32 reference: identical math applied in f32, cast at the end.
+    ref_f32 = group_norm_silu_xla(x.astype(jnp.float32), scale, bias, 8)
+    # Close (pure rounding difference)...
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref_f32, np.float32),
+                               atol=0.03, rtol=0.03)
+    # ...but NOT bitwise equal to the f32-applied-then-cast form: if the
+    # apply ever silently reverts to f32, this assertion catches it.
+    cast_ref = np.asarray(ref_f32.astype(jnp.bfloat16), np.float32)
+    assert not np.array_equal(np.asarray(got, np.float32), cast_ref), (
+        "GN apply appears to run in f32 again — the r4 bf16-apply "
+        "optimization has been reverted")
