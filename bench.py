@@ -419,6 +419,10 @@ def bench_training(peak: float) -> None:
     # optimum on v5e. Env overrides exist for sweeps.
     batch_size = int(os.environ.get("DMU_BENCH_BATCH", 2048))
     scan_k = int(os.environ.get("DMU_BENCH_SCANK", 4))
+    # Image size knob (default: the CIFAR-10 flagship). 64 exercises the
+    # CelebA-class production shape: 4x the spatial FLOPs/pixel budget —
+    # pair with DMU_BENCH_BATCH=512 for a comparable memory footprint.
+    image_size = int(os.environ.get("DMU_BENCH_IMAGE", 32))
     # Low-precision state + RNG knobs (r3): bf16 Adam-mu storage and
     # XLA's RBG generator for the per-step noise batch — measured on v5e
     # (BENCH_NOTES round-3 A/B table); env overrides exist for sweeps.
@@ -439,7 +443,7 @@ def bench_training(peak: float) -> None:
     # A/B reproducible.
     remat_env = os.environ.get("DMU_BENCH_REMAT", "off")
     model = DDPM({
-        "num_timesteps": 1000, "image_size": 32, "in_channels": 3,
+        "num_timesteps": 1000, "image_size": image_size, "in_channels": 3,
         "model_channels": 128, "remat": remat_env == "full",
         "remat_policy": (remat_env if remat_env not in ("off", "full")
                          else None),
@@ -458,7 +462,8 @@ def bench_training(peak: float) -> None:
                     "log_interval": 1000000},
         "output": {"output_dir": "/tmp/dmu_tpu_bench"},
     }
-    imgs = make_synthetic(num_samples=batch_size * scan_k, image_size=32)
+    imgs = make_synthetic(num_samples=batch_size * scan_k,
+                          image_size=image_size)
     aug = make_augment_fn([{"name": "normalize"}], [0.5] * 3, [0.5] * 3,
                           train=True)
     loader = DeviceDataLoader(imgs, batch_size=batch_size, augment=aug)
@@ -552,8 +557,10 @@ def bench_training(peak: float) -> None:
         vs_baseline = raw_mfu / achievable_mfu
 
     print(json.dumps({
-        "metric": "DDPM CIFAR-10 train throughput "
-                  f"(C=128 UNet, bf16, B={batch_size}, {scan_k}-step scan)",
+        "metric": ("DDPM CIFAR-10 train throughput "
+                   if image_size == 32 else
+                   f"DDPM {image_size}x{image_size} train throughput ")
+                  + f"(C=128 UNet, bf16, B={batch_size}, {scan_k}-step scan)",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
