@@ -144,16 +144,22 @@ def _cost_of(jitted, *args) -> tuple:
 
 
 def time_sampler(fn, key, target_window_s: float = 2.0,
-                 windows: int = 4, max_calls_per_window: int = 12):
+                 windows: int = 4, max_calls_per_window: int = 12,
+                 warm_windows: int = 1, window_means: list = None):
     """Amortized sampler timing (VERDICT r3 #4: n=1-3 calls at 0.15-0.4 s
     over a tunneled runtime cannot distinguish regression from jitter —
     four observed DPM++ runs of IDENTICAL code spanned 0.146-0.23 s).
 
     Probes one call, sizes windows of back-to-back async dispatches to
-    ~``target_window_s`` each (one host sync per window), times
-    ``windows`` of them, and returns (median_per_call, total_calls,
-    spread) where spread = (max−min)/median across window means — the
-    dispersion figure that says whether two bench runs are comparable.
+    ~``target_window_s`` each (one host sync per window), runs
+    ``warm_windows`` UNTIMED windows (the first window after compile
+    carries host warm-up — allocator, tunnel, numpy import paths — that
+    r4's DPM++ line paid as 14.4% spread), then times ``windows`` of
+    them and returns (median_per_call, total_timed_calls, spread) where
+    spread = (max−min)/median across window means — the dispersion
+    figure that says whether two bench runs are comparable. The raw
+    per-window means are appended to ``window_means`` when given, so
+    the artifact carries the audit trail for its own spread figure.
     """
     import jax
     import numpy as np
@@ -166,7 +172,7 @@ def time_sampler(fn, key, target_window_s: float = 2.0,
                                                    / max(probe, 1e-3)))))
     per_window = []
     i = 0
-    for _ in range(windows):
+    for w in range(warm_windows + windows):
         t0 = time.perf_counter()
         for _ in range(k):
             out = fn(jax.random.fold_in(key, i))
@@ -174,9 +180,12 @@ def time_sampler(fn, key, target_window_s: float = 2.0,
         # Force materialization: block_until_ready has been observed to
         # return early under tunneled runtimes (BENCH_NOTES / memory).
         _ = np.asarray(out)
-        per_window.append((time.perf_counter() - t0) / k)
+        if w >= warm_windows:
+            per_window.append((time.perf_counter() - t0) / k)
     med = float(np.median(per_window))
     spread = (max(per_window) - min(per_window)) / med
+    if window_means is not None:
+        window_means.extend(round(t, 4) for t in per_window)
     return med, k * windows, spread
 
 
@@ -219,9 +228,21 @@ def bench_sampler(peak: float) -> None:
         # artifact instead of emptying it (VERDICT r3 #8).
         watchdog(f"sampler compile: {name}",
                  lambda: np.asarray(fn(params, key)))
-        windows = 2 if steps > 50 else 4  # ancestral: ~6 s/call
+        # Window plan (VERDICT r4 #2): sub-second samplers are
+        # host-dispatch-bound under the tunnel, so they get LONGER
+        # windows (4 s × up to 48 calls averages per-dispatch jitter
+        # ~1.6× harder than r4's 12-call windows) and more of them;
+        # everyone gets one untimed warm window. Ancestral (~5 s/call)
+        # keeps short windows — its r4 spread was already 0.1-0.6%.
+        if steps > 50:
+            plan = dict(windows=2, target_window_s=2.0,
+                        max_calls_per_window=12)
+        else:
+            plan = dict(windows=5, target_window_s=4.0,
+                        max_calls_per_window=48)
+        means = []
         dt, reps, spread = time_sampler(
-            lambda k: fn(params, k), key, windows=windows)
+            lambda k: fn(params, k), key, window_means=means, **plan)
         mfu = apply_flops * steps / dt / peak if apply_flops else 0.0
         print(json.dumps({
             "metric": name,
@@ -235,6 +256,7 @@ def bench_sampler(peak: float) -> None:
             "samples_per_sec_chip": round(batch / dt, 2),
             "reps": reps,
             "window_spread_pct": round(spread * 100, 1),
+            "window_means_s": means,
         }), flush=True)
 
 

@@ -247,11 +247,13 @@ def make_augment_fn(transforms: Sequence[Dict[str, Any]],
                 # `dataset_utils.py:45-49`): multiplicative brightness/
                 # contrast/saturation factors ~ U[max(0,1-v), 1+v], hue
                 # shift ~ U[-hue, hue] applied in HSV space, each stage
-                # clamped to [0,1]. Like torchvision, the stage ORDER is
-                # randomized per call (here: per batch) — a uniform
-                # permutation of the enabled stages drawn from the batch
-                # key; each stage's factor comes from its own dedicated
-                # key, so factor distributions are order-independent.
+                # clamped to [0,1]. Torchvision draws a fresh stage ORDER
+                # per forward() call, and the reference applies transforms
+                # per sample — so the order here is PER IMAGE: each image
+                # gets an independent uniform permutation of the enabled
+                # stages (vmapped switch chain). Factors come from their
+                # own dedicated keys, so their distributions are
+                # order-independent and match the pre-permutation draws.
                 kb, kc, ks, kh, kp = jax.random.split(sub, 5)
                 bright = float(t.get("brightness", 0.0))
                 contrast = float(t.get("contrast", 0.0))
@@ -263,34 +265,34 @@ def make_augment_fn(transforms: Sequence[Dict[str, Any]],
                 # Luma weights: torchvision's rgb_to_grayscale, used by
                 # both its contrast and saturation stages.
                 luma = jnp.asarray([0.2989, 0.587, 0.114], jnp.float32)
+                # Per-image factors (same key/size as the (b,1,1,1) form,
+                # so values are draw-identical to earlier rounds).
+                fb = jax.random.uniform(kb, (b,), minval=max(0.0, 1 - bright),
+                                        maxval=1 + bright)
+                fc = jax.random.uniform(kc, (b,),
+                                        minval=max(0.0, 1 - contrast),
+                                        maxval=1 + contrast)
+                fs = jax.random.uniform(ks, (b,), minval=max(0.0, 1 - sat),
+                                        maxval=1 + sat)
+                fh = jax.random.uniform(kh, (b,), minval=-hue, maxval=hue)
+                facs = jnp.stack([fb, fc, fs, fh], axis=-1)
 
-                def stage_brightness(x):
-                    f = jax.random.uniform(kb, (b, 1, 1, 1),
-                                           minval=max(0.0, 1 - bright),
-                                           maxval=1 + bright)
-                    return jnp.clip(x * f, 0.0, 1.0)
+                def stage_brightness(img, f):
+                    return jnp.clip(img * f[0], 0.0, 1.0)
 
-                def stage_contrast(x):
-                    f = jax.random.uniform(kc, (b, 1, 1, 1),
-                                           minval=max(0.0, 1 - contrast),
-                                           maxval=1 + contrast)
-                    gray = (jnp.tensordot(x, luma, axes=(-1, 0))
-                            if x.shape[-1] == 3 else x[..., 0])
-                    m = jnp.mean(gray, axis=(1, 2), keepdims=True)[..., None]
-                    return jnp.clip((x - m) * f + m, 0.0, 1.0)
+                def stage_contrast(img, f):
+                    gray = (jnp.tensordot(img, luma, axes=(-1, 0))
+                            if img.shape[-1] == 3 else img[..., 0])
+                    m = jnp.mean(gray)
+                    return jnp.clip((img - m) * f[1] + m, 0.0, 1.0)
 
-                def stage_saturation(x):
-                    f = jax.random.uniform(ks, (b, 1, 1, 1),
-                                           minval=max(0.0, 1 - sat),
-                                           maxval=1 + sat)
-                    gray = jnp.tensordot(x, luma, axes=(-1, 0))[..., None]
-                    return jnp.clip((x - gray) * f + gray, 0.0, 1.0)
+                def stage_saturation(img, f):
+                    gray = jnp.tensordot(img, luma, axes=(-1, 0))[..., None]
+                    return jnp.clip((img - gray) * f[2] + gray, 0.0, 1.0)
 
-                def stage_hue(x):
-                    shift = jax.random.uniform(kh, (b, 1, 1),
-                                               minval=-hue, maxval=hue)
-                    hsv = _rgb_to_hsv(x)
-                    hsv = hsv.at[..., 0].set((hsv[..., 0] + shift) % 1.0)
+                def stage_hue(img, f):
+                    hsv = _rgb_to_hsv(img)
+                    hsv = hsv.at[..., 0].set((hsv[..., 0] + f[3]) % 1.0)
                     return jnp.clip(_hsv_to_rgb(hsv), 0.0, 1.0)
 
                 stages = []
@@ -303,11 +305,19 @@ def make_augment_fn(transforms: Sequence[Dict[str, Any]],
                 if hue and x.shape[-1] == 3:
                     stages.append(stage_hue)
                 if len(stages) == 1:
-                    x = stages[0](x)
+                    x = jax.vmap(stages[0])(x, facs)
                 elif stages:
-                    perm = jax.random.permutation(kp, len(stages))
-                    for i in range(len(stages)):
-                        x = jax.lax.switch(perm[i], stages, x)
+                    n_st = len(stages)
+                    perms = jax.vmap(
+                        lambda k: jax.random.permutation(k, n_st))(
+                            jax.random.split(kp, b))
+
+                    def jitter_one(img, f, perm):
+                        for i in range(n_st):
+                            img = jax.lax.switch(perm[i], stages, img, f)
+                        return img
+
+                    x = jax.vmap(jitter_one)(x, facs, perms)
         if has_normalize:
             x = (x - mean_a) / std_a
         return x

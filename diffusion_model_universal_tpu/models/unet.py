@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from .layers import (AttentionDownBlock, AttentionUpBlock, ConvDownBlock,
                      ConvUpBlock, GroupNormSiLU, ResidualBlock,
                      SelfAttentionBlock, SigmaEmbedding, TimeEmbedding)
+from .layers.resnet import CONVOUT
 
 Array = jnp.ndarray
 
@@ -53,7 +54,7 @@ def resolve_remat_policy(name: Optional[str]):
     if name is None or name == "full":
         return None
     if name == "save_convout":
-        return jax.checkpoint_policies.save_only_these_names("convout")
+        return jax.checkpoint_policies.save_only_these_names(CONVOUT)
     raise ValueError(
         f"model_config.remat_policy must be 'full' or 'save_convout', "
         f"got {name!r}")

@@ -184,19 +184,40 @@ def main(argv=None) -> int:
                              f"{args.model_type} models (ddpm/ddim only)")
         inpaint = _load_inpaint_inputs(args, model)
     from ..parallel.mesh import mesh_replicated
+    from ..utils.memory import SamplerMemoryError, plan_sampler_chunks
     mesh = make_mesh(devices)
+    # HBM preflight (BENCH_NOTES r4: an un-guarded B=1024 64² ancestral
+    # request crashed the TPU worker): split oversized requests into
+    # equal device-aligned chunks, or refuse with a clear message.
+    try:
+        chunk, n_chunks = plan_sampler_chunks(
+            args.num_samples,
+            image_size=int(model_cfg.get("image_size", 32)),
+            model_channels=int(model_cfg.get("model_channels", 64)),
+            in_channels=int(model_cfg.get("in_channels", 3)),
+            dtype_bytes=2 if "bf" in str(
+                model_cfg.get("compute_dtype", "bfloat16")) else 4,
+            params_bytes=sum(
+                a.size * a.dtype.itemsize
+                for a in jax.tree_util.tree_leaves(params)),
+            n_devices=len(devices))
+    except SamplerMemoryError as e:
+        raise SystemExit(f"--num_samples {args.num_samples}: {e}")
     # Mesh-form ALL jit inputs: single-device-committed inputs under the
     # sampling mesh make GSPMD pick unrecoverable partial shardings
     # whenever num_samples doesn't divide the data axis (mesh_replicated).
     params, key, labels = mesh_replicated(mesh, (params, key, labels))
-    with sampling_scope(mesh):
-        if inpaint is not None:
-            image, mask = mesh_replicated(mesh, inpaint)
-            samples = np.asarray(model.generate_samples_inpaint(
-                params, key, image, mask, labels=labels,
-                guidance_scale=args.guidance_scale if labels is not None
+
+    def sample_chunk(n, ckey, clabels, cinpaint):
+        """One sampler dispatch for ``n`` samples (the original whole-batch
+        body; chunking callers pass n = chunk and slice the result)."""
+        if cinpaint is not None:
+            image, mask = mesh_replicated(mesh, cinpaint)
+            return np.asarray(model.generate_samples_inpaint(
+                params, ckey, image, mask, labels=clabels,
+                guidance_scale=args.guidance_scale if clabels is not None
                 else 1.0))
-        elif args.sampler != "default":
+        if args.sampler != "default":
             method = {"dpm++": "generate_samples_dpm",
                       "heun": "generate_samples_heun",
                       "strided": "generate_samples_strided"}[args.sampler]
@@ -205,20 +226,52 @@ def main(argv=None) -> int:
                     f"--sampler {args.sampler} needs an ε-prediction model "
                     f"(ddpm/ddim), got {args.model_type}")
             try:
-                samples = np.asarray(getattr(model, method)(
-                    params, key, args.num_samples,
-                    num_steps=args.sampler_steps, labels=labels,
-                    guidance_scale=args.guidance_scale if labels is not None
+                return np.asarray(getattr(model, method)(
+                    params, ckey, n,
+                    num_steps=args.sampler_steps, labels=clabels,
+                    guidance_scale=args.guidance_scale if clabels is not None
                     else 1.0))
             except ValueError as e:  # e.g. --sampler_steps out of [2, T]
                 raise SystemExit(f"--sampler {args.sampler}: {e}")
-        elif labels is not None:
-            samples = np.asarray(model.generate_samples_cfg(
-                params, key, args.num_samples, labels,
+        if clabels is not None:
+            return np.asarray(model.generate_samples_cfg(
+                params, ckey, n, clabels,
                 guidance_scale=args.guidance_scale))
+        return np.asarray(model.generate_samples(params, ckey, n))
+
+    with sampling_scope(mesh):
+        if n_chunks == 1:
+            samples = sample_chunk(args.num_samples, key, labels, inpaint)
         else:
-            samples = np.asarray(model.generate_samples(params, key,
-                                                        args.num_samples))
+            print(f"HBM preflight: {args.num_samples} samples split into "
+                  f"{n_chunks} chunks of {chunk} (estimated footprint "
+                  f"exceeds the device budget; set DMU_SAMPLER_HBM_BYTES "
+                  f"to override)", flush=True)
+            chunk_labels = None
+            if labels is not None:
+                chunk_labels = mesh_replicated(mesh, model.make_class_labels(
+                    args.class_id, chunk))
+            parts = []
+            for ci in range(n_chunks):
+                start = ci * chunk
+                n = min(chunk, args.num_samples - start)
+                ckey = jax.random.fold_in(key, ci)
+                cinp = None
+                if inpaint is not None:
+                    image, mask = inpaint
+                    img_c = image[start:start + n]
+                    msk_c = mask[start:start + n] if mask.shape[0] > 1 \
+                        else mask
+                    if n < chunk:  # pad to the compiled chunk shape
+                        img_c = np.concatenate(
+                            [img_c, np.repeat(img_c[-1:], chunk - n, 0)])
+                        if msk_c.shape[0] > 1:
+                            msk_c = np.concatenate(
+                                [msk_c, np.repeat(msk_c[-1:], chunk - n, 0)])
+                    cinp = (img_c, msk_c)
+                parts.append(sample_chunk(chunk, ckey, chunk_labels,
+                                          cinp)[:n])
+            samples = np.concatenate(parts)
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     if not args.grid_only:

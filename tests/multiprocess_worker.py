@@ -26,11 +26,12 @@ import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-# No PERSISTENT compile cache: sharing AOT entries with the parent
-# suite's 8-device topology is not worth the cross-process invalidation
-# risk. The dryrun gate instead passes a FRESH per-run cache dir shared
-# by just the two identical-topology workers (second compile of each
-# program hits the first's entry — halves cold compile on a 1-core host).
+# No PERSISTENT compile cache by default: sharing AOT entries with the
+# parent suite's 8-device topology is not worth the cross-process
+# invalidation risk, and the dryrun gate runs cache-less too (its two
+# workers race the same programs; a shared cache never hits in time).
+# DMU_WORKER_COMPILE_CACHE is an OPT-IN for external callers that want a
+# fresh per-run cache dir shared by identical-topology workers.
 os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 _cache_dir = os.environ.get("DMU_WORKER_COMPILE_CACHE")
 if _cache_dir:
@@ -61,9 +62,10 @@ def main() -> None:
     # Light mode (the dryrun gate's time budget, round-3 regression fix):
     # skip the eval paths — the single-process dryrun phase already
     # certifies sharded eval; what is multiprocess-ONLY is the
-    # make_array_from_process_local_data batch assembly (step/scan) and
-    # the Orbax coordinated-save barrier, which stay. The pytest
-    # integration test runs the full set.
+    # make_array_from_process_local_data batch assembly (step AND the
+    # `_scan_chunk` host-side stack path, both kept in light mode per
+    # VERDICT r4 #3) and the Orbax coordinated-save barrier. The pytest
+    # integration test runs the full set including eval.
     light = os.environ.get("DMU_WORKER_LIGHT") == "1"
     pid, coordinator, tmpdir = (int(sys.argv[1]), sys.argv[2], sys.argv[3])
     jax.distributed.initialize(coordinator, num_processes=2, process_id=pid)
@@ -122,18 +124,14 @@ def main() -> None:
     mark("step")
 
     # -- one scan chunk through the multi-host stack path ----------------
-    # (skipped in light mode: the scan program is certified on the same
-    # global mesh by the single-process dryrun phase and by the pytest
-    # full-mode run; the multiprocess-ONLY certifications are the batch
-    # assembly above and the Orbax barrier below.)
-    if light:
-        scan_losses = []
-    else:
-        chunk = [next(it), next(it)]
-        state, scan_losses = tr._scan_chunk(tr.state, chunk, 2)
-        tr.state = state
-        scan_losses = [float(x) for x in np.asarray(scan_losses)]
-        mark("scan")
+    # Runs in BOTH modes (VERDICT r4 #3): the multi-host host-side batch
+    # stack inside `_scan_chunk` is multiprocess-ONLY code, so the gate
+    # artifact must show a non-empty scan, not a vacuous [].
+    chunk = [next(it), next(it)]
+    state, scan_losses = tr._scan_chunk(tr.state, chunk, 2)
+    tr.state = state
+    scan_losses = [float(x) for x in np.asarray(scan_losses)]
+    mark("scan")
 
     # -- masked per-sample eval (64/2 = 32 local → ragged under batch 8? no;
     #    exercise the pad path too with a 5-sample tail loader) ----------
@@ -152,6 +150,12 @@ def main() -> None:
     tr2 = DDPMTrainer(DDPM(model_cfg), loader(8), loader(8), loader(8),
                       cfg, mesh=mesh)
     tr2.load_checkpoint("checkpoint_epoch_0")
+    # Identical config/mesh/shapes: share tr's compiled step so the
+    # resumed-step probe below hits the jit cache instead of paying a
+    # second full XLA compile (jit caches per function object; the saved
+    # ~1 min on a 1-core host funds the scan-path certification above
+    # inside the dryrun gate's budget).
+    tr2.train_step = tr.train_step
     for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
                     jax.tree_util.tree_leaves(tr2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

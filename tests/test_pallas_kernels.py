@@ -247,3 +247,38 @@ def test_gn_xla_bf16_apply_stays_bf16():
     assert not np.array_equal(np.asarray(got, np.float32), cast_ref), (
         "GN apply appears to run in f32 again — the r4 bf16-apply "
         "optimization has been reverted")
+
+
+def test_gn_xla_bf16_apply_shifted_mean_error_bounded():
+    """Worst-case rounding regime for the bf16 apply (ADVICE r4): the
+    fused form computes ``x*a + b_`` with ``b_ = bias - mean*a``; in bf16
+    the two terms cancel, so the absolute error scales like
+    ``eps_bf16 * |mean * a|`` (eps = 2^-8) — invisible on the zero-mean
+    inputs the original canary used. GN inputs in the UNet are conv
+    outputs with |mean|/std = O(1), where the error is ~0.03 of the
+    output scale (the other canary); this test pins the SCALING LAW at a
+    pathological mean (x ~ N(50, 1)) so the tradeoff stays bounded and
+    documented rather than silent.
+
+    Measured on this formulation: max_abs ≈ 0.53 at mean=50 (a_max ≈
+    1.4); the assertion uses the analytic bound 4*eps*|mean|*a_max ≈ 1.1
+    with headroom for stats jitter."""
+    rng = np.random.default_rng(0)
+    mean = 50.0
+    x = jnp.asarray(rng.normal(size=(4, 8, 8, 32)) + mean, jnp.bfloat16)
+    scale = jnp.asarray(rng.normal(size=(32,)) * 0.2 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(32,)) * 0.1, jnp.float32)
+
+    got = np.asarray(group_norm_silu_xla(x, scale, bias, 8), np.float32)
+    # Same quantized input values in f32 → the diff isolates the bf16
+    # apply-path rounding (input quantization is shared).
+    ref = np.asarray(
+        group_norm_silu_xla(x.astype(jnp.float32), scale, bias, 8),
+        np.float32)
+    err = np.abs(got - ref)
+    a_max = float(np.abs(np.asarray(scale)).max())  # std≈1 ⇒ a ≈ scale
+    bound = 4.0 * (2.0 ** -8) * mean * a_max
+    assert err.max() <= bound, (err.max(), bound)
+    # And the regime is genuinely worse than zero-mean — if this starts
+    # passing the 0.03 zero-mean tolerance, the apply has gone f32 again.
+    assert err.max() > 0.1

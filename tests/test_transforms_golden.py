@@ -246,45 +246,60 @@ def _jitter_stage_fns(sub, b, bright, contrast, sat, hue):
     return [s_bright, s_contrast, s_sat, s_hue]
 
 
-def test_color_jitter_stage_order_permuted_per_call():
-    """Torchvision permutes the b/c/s/h stage order per call
-    (`T.ColorJitter.forward`, reference `datasets/dataset_utils.py:45-49`).
-    For each key, the pipeline output must equal EXACTLY one enumerated
-    order of the documented stage formulas, and across keys many distinct
-    orders (not just the old fixed b->c->s->h) must appear."""
+def test_color_jitter_stage_order_permuted_per_image():
+    """Torchvision permutes the b/c/s/h stage order per forward() call
+    (`T.ColorJitter.forward`, reference `datasets/dataset_utils.py:45-49`),
+    and the reference applies transforms per SAMPLE — so each image in a
+    batch must get its own independent order. For every image the pipeline
+    output must equal at least one enumerated order of the documented
+    stage formulas, and distinct orders must appear both across keys AND
+    across images within a single call."""
     import itertools
 
     bright, contrast, sat, hue = 0.7, 0.7, 0.7, 0.25
+    n_img = 6
     aug = make_augment_fn(
         [{"name": "color_jitter", "brightness": bright, "contrast": contrast,
           "saturation": sat, "hue": hue}, {"name": "normalize"}],
         [0.0] * 3, [1.0] * 3, train=True)
     rng = np.random.default_rng(11)
-    batch = rng.integers(0, 256, (2, 4, 4, 3), np.uint8)
+    batch = rng.integers(0, 256, (n_img, 4, 4, 3), np.uint8)
     x0 = jnp.asarray(batch, jnp.float32) / 255.0
 
     orders_seen = set()
-    n_keys = 48
+    within_call_orders = []
+    n_keys = 12
     for k in range(n_keys):
         key = jax.random.PRNGKey(k)
         out = np.asarray(aug(jnp.asarray(batch), key))
         _, sub = jax.random.split(key)
-        fns = _jitter_stage_fns(sub, 2, bright, contrast, sat, hue)
-        matches = []
+        fns = _jitter_stage_fns(sub, n_img, bright, contrast, sat, hue)
+        # Candidate batch under every order (stages act per-image, so
+        # image j of the order-p batch is image j jittered with order p).
+        candidates = {}
         for perm in itertools.permutations(range(4)):
             x = x0
             for i in perm:
                 x = fns[i](x)
-            if np.allclose(out, np.asarray(x), atol=1e-5):
-                matches.append(perm)
-        assert len(matches) >= 1, f"key {k}: no stage order reproduces output"
-        # Compositions can coincide for specific factor draws; record the
-        # full match set so coincidences don't inflate distinct-order counts.
-        orders_seen.add(matches[0])
-    # E[distinct orders in 48 uniform draws from 24] ~ 20.7; >= 8 is a
+            candidates[perm] = np.asarray(x)
+        call_orders = set()
+        for j in range(n_img):
+            matches = [perm for perm, cand in candidates.items()
+                       if np.allclose(out[j], cand[j], atol=1e-5)]
+            assert matches, f"key {k} image {j}: no order reproduces output"
+            # Compositions can coincide for specific factor draws; take
+            # the first match so coincidences don't inflate counts.
+            call_orders.add(matches[0])
+        orders_seen |= call_orders
+        within_call_orders.append(len(call_orders))
+    # E[distinct orders over 72 uniform draws from 24] ≈ 23; >= 8 is a
     # loose-but-decisive bound ruling out any fixed or 2-cycle order.
     assert len(orders_seen) >= 8, sorted(orders_seen)
-    assert orders_seen != {(0, 1, 2, 3)}, "stage order is still fixed"
+    # Per-IMAGE independence: with 6 images/call, P[all six share one
+    # order] = 24^-5 per call; requiring >= 2 distinct orders in at least
+    # half the calls rules out any per-batch (shared-order) scheme.
+    assert sum(1 for n in within_call_orders if n >= 2) >= n_keys // 2, (
+        within_call_orders)
 
 
 def test_color_jitter_single_stage_unaffected_by_permutation():
