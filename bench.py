@@ -287,17 +287,31 @@ def matmul_flops_per_step(batch: int, image_size: int, c: int) -> float:
     return attn + time_mlp + inject
 
 
-# Projection-GEMM shapes of the attention sites + the 4C-width linears,
-# weighted by their share of matmul_flops_per_step at the flagship
-# config (down3 0.56 / up1 0.14 / mid+linears 0.30).
-_MATMUL_SHAPES = [  # (M, KN, flop_share)
-    (32768, 256, 0.56),
-    (8192, 256, 0.14),
-    (2048, 512, 0.30),
-]
+def _matmul_shapes(batch: int, image_size: int, c: int):
+    """Projection-GEMM shapes of the attention sites + the 4C-width
+    linears, with flop shares recomputed from the same analytic formula
+    as :func:`matmul_flops_per_step` so the probe stays calibrated at
+    any image size (at the flagship 32² config: down3 0.56 / up1 0.14 /
+    mid+linears 0.30)."""
+    b, s = batch, image_size
+    f_d3 = 48.0 * b * (s // 8) ** 2 * (2 * c) ** 2
+    f_u1 = 48.0 * b * (s // 16) ** 2 * (2 * c) ** 2
+    f_mid = 24.0 * b * max(s // 32, 1) ** 2 * (4 * c) ** 2
+    f_lin = 6.0 * b * 20 * c * c + 6.0 * b * (4 * c) * (48 * c)
+    total = f_d3 + f_u1 + f_mid + f_lin
+    return [
+        (b * (s // 8) ** 2, 2 * c, f_d3 / total),
+        (b * (s // 16) ** 2, 2 * c, f_u1 / total),
+        # mid-attention + the 4C linears lumped on the 4C square shape
+        # (documented approximation; their share is dominated by K=N).
+        (max(b * max(s // 32, 1) ** 2, b), 4 * c,
+         (f_mid + f_lin) / total),
+    ]
 
 
-def measure_matmul_efficiency(peak: float, batch_size: int) -> float:
+def measure_matmul_efficiency(peak: float, batch_size: int,
+                              image_size: int = 32,
+                              channels: int = 128) -> float:
     """Measured MXU efficiency of the model's own GEMM shapes.
 
     Same methodology as :func:`measure_conv_efficiency`: each shape is
@@ -315,8 +329,8 @@ def measure_matmul_efficiency(peak: float, batch_size: int) -> float:
 
     key = jax.random.PRNGKey(3)
     weighted = total = 0.0
-    for i, (m, kn, share) in enumerate(_MATMUL_SHAPES):
-        m = int(m * batch_size / 2048) or m
+    for i, (m, kn, share) in enumerate(
+            _matmul_shapes(batch_size, image_size, channels)):
         kx, kw = jax.random.split(jax.random.fold_in(key, i))
         x = jax.random.normal(kx, (m, kn), jnp.bfloat16)
         # Spectral scale ≈ 1 so the chained product neither explodes nor
@@ -398,7 +412,8 @@ _CONV_SHAPES = [  # (H, Cin, Cout, k, stride, flop_share)
 
 
 def measure_conv_efficiency(peak: float, batch_size: int,
-                            per_shape: list = None) -> float:
+                            per_shape: list = None,
+                            image_size: int = 32) -> float:
     """Measured MXU efficiency of XLA's conv kernels at THIS model's
     actual shapes (the auditable basis for the achievable roofline).
 
@@ -425,7 +440,15 @@ def measure_conv_efficiency(peak: float, batch_size: int,
 
     key = jax.random.PRNGKey(0)
     weighted, total_share = 0.0, 0.0
-    for i, (h, cin, cout, k, stride, share) in enumerate(_CONV_SHAPES):
+    # Every conv's spatial dims scale uniformly with image size, so the
+    # 32²-derived FLOP shares remain exact at other image sizes once the
+    # probe shapes are scaled along (the r5 64² run exposed this: the
+    # unscaled inventory measured 0.686 "efficiency" for a 64² model
+    # whose true shapes run better, pushing vs_baseline above 1).
+    scale = max(image_size // 32, 1)
+    shapes = [(h * scale, cin, cout, k, stride, share)
+              for (h, cin, cout, k, stride, share) in _CONV_SHAPES]
+    for i, (h, cin, cout, k, stride, share) in enumerate(shapes):
         kx, kw = jax.random.split(jax.random.fold_in(key, i))
         x = (jax.random.normal(kx, (batch_size, h, h, cin), jnp.bfloat16)
              * 0.01)
@@ -679,10 +702,15 @@ def bench_training(peak: float) -> None:
     # micro-bench OOMs the remote compile helper above that (observed at
     # B=3072), and per-shape MXU efficiency is batch-insensitive once
     # the MXU is saturated (256→2048 measured within noise).
-    conv_eff = measure_conv_efficiency(peak, min(batch_size, 2048))
+    # Probe-batch cap scales inversely with image area so the chained
+    # conv program stays at the B=2048@32² size known to fit the remote
+    # compile helper (B=3072@32² OOMed it — r4).
+    probe_cap = max(2048 // max(image_size // 32, 1) ** 2, 64)
+    conv_eff = measure_conv_efficiency(peak, min(batch_size, probe_cap),
+                                       image_size=image_size)
     mm_eff = watchdog("matmul-efficiency probe",
                       lambda: measure_matmul_efficiency(
-                          peak, min(batch_size, 2048)))
+                          peak, min(batch_size, probe_cap), image_size))
     stream_bw = watchdog("stream-bandwidth probe", measure_stream_bandwidth)
     vs_baseline = raw_mfu
     achievable_mfu = 0.0

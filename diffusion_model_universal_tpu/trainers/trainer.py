@@ -596,6 +596,9 @@ class DiffusionTrainer:
                     # chunk granularity (grad-norm metrics are a
                     # single-step-path feature).
                     chunk: list = []
+                    track_time = (self.config.get("logging", {}) or {}).get(
+                        "track_time_metrics", False)
+                    last_log_t = last_log_step = None
                     for batch in batches:
                         chunk.append(batch)
                         if len(chunk) < self.scan_steps:
@@ -603,17 +606,35 @@ class DiffusionTrainer:
                         state, losses = self._scan_chunk(state, chunk, step)
                         epoch_losses.append(losses)
                         step += len(chunk)
+                        nb = self._batch_count(chunk[-1])
                         chunk = []
                         # Fire once per log_interval crossing — same
                         # semantics as the single-step path's
                         # `step % log_interval == 0` at chunk granularity.
                         if self.is_main and \
                                 step % self.log_interval < self.scan_steps:
-                            self.logger.log({
+                            log = {
                                 "train/loss": float(jnp.mean(losses)),
                                 "train/learning_rate":
                                     float(self.lr_schedule(step)),
-                            }, step)
+                            }
+                            # Throughput at log-interval granularity:
+                            # the float() above synced the device, so
+                            # wall time between consecutive log events
+                            # over the steps they cover is the true
+                            # amortized rate (the single-step path's
+                            # per-batch timing under-reports here —
+                            # scan dispatches are async). First
+                            # interval includes compile; later ones
+                            # are steady state.
+                            now = time.perf_counter()
+                            if track_time and last_log_t is not None:
+                                dsteps = step - last_log_step
+                                dt = max(now - last_log_t, 1e-9)
+                                log.update(self.logger.performance_metrics(
+                                    dt / dsteps, nb))
+                            last_log_t, last_log_step = now, step
+                            self.logger.log(log, step)
                         if self.val_interval and \
                                 step % self.val_interval < self.scan_steps:
                             self._validate_and_save_best(state, step, epoch)

@@ -64,7 +64,8 @@ data:
 logging:
   use_wandb: false
   use_tensorboard: false
-  log_interval: 100
+  log_interval: 20
+  track_time_metrics: true
 
 output:
   output_dir: "{out_dir}"
@@ -147,11 +148,29 @@ def main() -> int:
                  "--ema", "--num_samples", "64", "--grid_only",
                  "--output_dir", out_dir / "samples"], log_path)
 
+    # Steady-state train throughput from the JSONL metrics sink
+    # (scan-path inter-log-interval rate; the first reading covers the
+    # compile and is excluded by taking the median of the rest).
+    sps = []
+    metrics_path = out_dir / "metrics.jsonl"
+    if metrics_path.exists():
+        for line in metrics_path.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            v = rec.get("performance/samples_per_second")
+            if v:
+                sps.append(v)
+
     summary = {
         "num_images": args.num_images,
         "jpeg_write_seconds": round(t_jpeg, 1),
         "cache_build_seconds": round(t_cache, 1),
         "train_seconds": round(t_train, 1),
+        "train_samples_per_sec_median": (
+            round(sorted(sps)[len(sps) // 2], 1) if sps else None),
+        "train_throughput_readings": [round(v, 1) for v in sps],
         "generate_seconds": round(t_gen, 1),
         "grid": str(out_dir / "samples" / "samples_grid.png"),
     }

@@ -691,3 +691,35 @@ def test_rng_impl_rejects_unknown(tmp_path):
     train, val, test = get_dataset(cfg)
     with pytest.raises(ValueError, match="rng_impl"):
         DDPMTrainer(DDPM(cfg["model_config"]), train, val, test, cfg)
+
+
+def test_scan_path_logs_throughput_metrics(tmp_path):
+    """The K-step scan loop emits performance/samples_per_second at
+    log-interval granularity when logging.track_time_metrics is on
+    (reference `_log_performance_metrics`, `ddpm_trainer.py:374-402` —
+    previously a single-step-path-only feature; the scan path computes
+    the rate from wall time between consecutive synced log events)."""
+    import json
+
+    cfg = _tiny_config(
+        tmp_path,
+        training={"scan_steps": 2, "num_epochs": 1},
+        logging={"use_wandb": False, "use_tensorboard": False,
+                 "log_interval": 4, "track_time_metrics": True})
+    train, val, test = get_dataset(cfg)
+    tr = DDPMTrainer(DDPM(cfg["model_config"]), train, val, test, cfg)
+    try:
+        tr.train(1)  # 32 steps → log events at 4, 8, ... (scan chunks)
+        recs = [json.loads(ln) for ln in
+                (tr.output_dir / "metrics.jsonl").read_text().splitlines()]
+        sps = [r["performance/samples_per_second"] for r in recs
+               if "performance/samples_per_second" in r]
+        # First log event has no predecessor interval → at least one
+        # fewer reading than log events, but multiple events exist.
+        assert len(sps) >= 2
+        assert all(np.isfinite(v) and v > 0 for v in sps)
+        bt = [r["performance/batch_time"] for r in recs
+              if "performance/batch_time" in r]
+        assert len(bt) == len(sps)
+    finally:
+        tr.cleanup()
