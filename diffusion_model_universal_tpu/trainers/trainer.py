@@ -577,6 +577,12 @@ class DiffusionTrainer:
         # would block on the in-flight device step and serialize the
         # pipeline (the big reference slowdown, `ddpm_trainer.py:529-537`).
         step = int(state.step)
+        # Scan-path throughput tracker: survives epoch boundaries so a
+        # config with one log event per epoch still gets inter-event
+        # rates (an epoch-local tracker never yields a second event).
+        track_time = (self.config.get("logging", {}) or {}).get(
+            "track_time_metrics", False)
+        last_log_t = last_log_step = None
         try:
             for epoch in range(self.start_epoch,
                                self.start_epoch + num_epochs):
@@ -596,9 +602,6 @@ class DiffusionTrainer:
                     # chunk granularity (grad-norm metrics are a
                     # single-step-path feature).
                     chunk: list = []
-                    track_time = (self.config.get("logging", {}) or {}).get(
-                        "track_time_metrics", False)
-                    last_log_t = last_log_step = None
                     for batch in batches:
                         chunk.append(batch)
                         if len(chunk) < self.scan_steps:

@@ -703,20 +703,30 @@ def test_scan_path_logs_throughput_metrics(tmp_path):
 
     cfg = _tiny_config(
         tmp_path,
-        training={"scan_steps": 2, "num_epochs": 1},
+        training={"scan_steps": 2, "num_epochs": 2},
         logging={"use_wandb": False, "use_tensorboard": False,
                  "log_interval": 4, "track_time_metrics": True})
     train, val, test = get_dataset(cfg)
     tr = DDPMTrainer(DDPM(cfg["model_config"]), train, val, test, cfg)
     try:
-        tr.train(1)  # 32 steps → log events at 4, 8, ... (scan chunks)
+        tr.train(2)  # 2×32 steps → log events at 4, 8, ..., 64
         recs = [json.loads(ln) for ln in
                 (tr.output_dir / "metrics.jsonl").read_text().splitlines()]
         sps = [r["performance/samples_per_second"] for r in recs
                if "performance/samples_per_second" in r]
-        # First log event has no predecessor interval → at least one
-        # fewer reading than log events, but multiple events exist.
-        assert len(sps) >= 2
+        assert len(sps) >= 8  # one per scan log event minus the first
+        # Cross-epoch persistence (the bug that nulled the CelebA
+        # demo's throughput row: an epoch-local tracker loses the
+        # FIRST event of every epoch): the first epoch-2 log event
+        # must itself carry a throughput reading.
+        epoch_end = min(r["step"] for r in recs if "epoch/time" in r)
+        ep2_events = [r["step"] for r in recs
+                      if "train/loss" in r and r["step"] > epoch_end]
+        ep2_readings = [r["step"] for r in recs
+                        if "performance/samples_per_second" in r
+                        and r["step"] > epoch_end]
+        assert ep2_events and min(ep2_readings) == min(ep2_events), (
+            ep2_readings, ep2_events)
         assert all(np.isfinite(v) and v > 0 for v in sps)
         bt = [r["performance/batch_time"] for r in recs
               if "performance/batch_time" in r]
